@@ -1,0 +1,78 @@
+"""HTML → text extraction + sanitization.
+
+The reference sanitizes chunk text before embedding/indexing: NFC
+normalization, control-character and emoji stripping, with an ASCII
+fast path (reference: crates/codegraph-vector/src/prep/chunker.rs:249-277).
+Here the same semantics run over Common-Crawl-style HTML: strip
+script/style/comments/tags, unescape entities, then sanitize.
+
+The north-rule per-row invariant is **byte-identical extracted text
+per url**: ``extract_html(html) == pages.text`` for every row of the
+corpus.  Pure functions — unit-testable without Spark, wrapped in
+Arrow-batched pandas UDFs for the pipeline (operators/tokenize.py).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+# Emoji / symbol ranges stripped by the reference sanitizer
+# (chunker.rs:262-277 semantics): emoticons, symbols & pictographs,
+# transport, supplemental symbols, flags, dingbats, misc symbols,
+# variation selectors, ZWJ.
+_EMOJI_RE = re.compile(
+    "["
+    "\U0001F000-\U0001FAFF"
+    "\U00002600-\U000027BF"
+    "\U0001F1E6-\U0001F1FF"
+    "\U00002190-\U000021FF"
+    "\U00002B00-\U00002BFF"
+    "︀-️"
+    "‍"
+    "]+"
+)
+
+
+def sanitize_text(raw: str) -> str:
+    """NFC-normalize, strip control chars and emoji, collapse whitespace."""
+    if not raw:
+        return ""
+    # ASCII fast path mirrors the reference: printable ASCII skips
+    # normalization entirely.
+    if raw.isascii() and raw.isprintable():
+        return " ".join(raw.split())
+    s = unicodedata.normalize("NFC", raw)
+    s = _EMOJI_RE.sub(" ", s)
+    # Strip Cc/Cf control/format chars (whitespace becomes separators).
+    s = "".join(
+        c if unicodedata.category(c) not in ("Cc", "Cf") else " " for c in s
+    )
+    return " ".join(s.split())
+
+
+def extract_html(html_bytes) -> str:
+    """Decode + strip HTML to sanitized text (deterministic, pure)."""
+    if html_bytes is None:
+        return ""
+    if isinstance(html_bytes, (bytes, bytearray, memoryview)):
+        s = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        s = str(html_bytes)
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    return sanitize_text(s)
+
+
+def extract_batch(html_series) -> list[str]:
+    """Batch entry point for mapInPandas/pandas UDFs."""
+    return [extract_html(h) for h in html_series]
