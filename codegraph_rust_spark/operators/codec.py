@@ -1,0 +1,185 @@
+"""Posting-list compression: docID delta + Group-VarInt, pure numpy.
+
+The reference gets posting storage for free from SurrealDB's SEARCH
+index B-trees (reference: schema/codegraph.surql:933 —
+``POSTINGS_ORDER 100``); its only explicit compression is zstd for
+large content blobs (crates/codegraph-core/src/compression.rs:9-30).
+Here postings are explicit ``BinaryType`` payloads inside DataFrame
+rows, so the codec is ours — per the north rule: docID deltas +
+Group-VarInt with block-max skip metadata.
+
+Design notes (scale-first):
+
+* **Split layout**: ``[n:uint32][prefix bytes][payload bytes]`` with
+  all group prefix bytes stored *before* the payload, not interleaved.
+  Interleaved group-varint forces sequential decode (the next group's
+  offset depends on the previous prefix); the split layout makes
+  per-value lengths a single table lookup over the prefix array, so
+  offsets come from one ``cumsum`` and decode is fully vectorized
+  numpy — no per-row Python in the hot path (input_hint requirement).
+* **u32 and u64 variants**: classic Group-VarInt packs 4 values with a
+  2-bit-per-value length code (1..4 bytes).  Term frequencies always
+  fit u32.  Doc ids are 64-bit (hash-assigned ids support resumable,
+  shuffle-free id assignment at 10^12-doc scale), so deltas need the
+  u64 variant: 4 values per group, 3-bit length codes (1..8 bytes)
+  packed in a u16 prefix.
+* Encoding is also vectorized (byte-plane scatter via masked writes).
+
+Block-max metadata (``block_last_doc``, ``block_max_score`` per
+BLOCK_SIZE entries) lives beside the payloads in the postings row and
+drives WAND skipping at query time (operators/topk.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+# ---------------------------------------------------------------- u32 codec
+
+# Per-value byte lengths for every possible u8 prefix (4 × 2-bit codes).
+_LEN4_U32 = np.zeros((256, 4), dtype=np.uint8)
+for _p in range(256):
+    for _j in range(4):
+        _LEN4_U32[_p, _j] = ((_p >> (2 * _j)) & 3) + 1
+
+# Per-value byte lengths for every possible u16 prefix (4 × 3-bit codes).
+_LEN4_U64 = np.zeros((1 << 12, 4), dtype=np.uint8)
+for _p in range(1 << 12):
+    for _j in range(4):
+        _LEN4_U64[_p, _j] = ((_p >> (3 * _j)) & 7) + 1
+
+
+def _nbytes_u32(v: np.ndarray) -> np.ndarray:
+    return (
+        1
+        + (v > 0xFF).astype(np.uint8)
+        + (v > 0xFFFF).astype(np.uint8)
+        + (v > 0xFFFFFF).astype(np.uint8)
+    )
+
+
+def _nbytes_u64(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(v), dtype=np.uint8)
+    for k in range(1, 8):
+        nb += (v > ((1 << (8 * k)) - 1)).astype(np.uint8)
+    return nb
+
+
+def encode_u32(values: np.ndarray) -> bytes:
+    """Group-VarInt encode a uint32 array (split layout)."""
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    n = len(v)
+    if n == 0:
+        return struct.pack("<I", 0)
+    pad = (-n) % 4
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, dtype=np.uint32)])
+    nb = _nbytes_u32(v)
+    codes = (nb - 1).reshape(-1, 4).astype(np.uint16)
+    prefix = (
+        codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6)
+    ).astype(np.uint8)
+    offsets = np.zeros(len(v), dtype=np.int64)
+    np.cumsum(nb[:-1], out=offsets[1:])
+    total = int(offsets[-1]) + int(nb[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    planes = v.view(np.uint8).reshape(-1, 4)  # little-endian byte planes
+    for i in range(4):
+        mask = nb > i
+        out[offsets[mask] + i] = planes[mask, i]
+    return struct.pack("<I", n) + prefix.tobytes() + out.tobytes()
+
+
+def decode_u32(buf: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    ngroups = (n + 3) // 4
+    prefix = np.frombuffer(buf, dtype=np.uint8, count=ngroups, offset=4)
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=4 + ngroups)
+    lens = _LEN4_U32[prefix].reshape(-1)  # ngroups*4 entries
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    vals = np.zeros(len(lens), dtype=np.uint32)
+    for i in range(4):
+        mask = lens > i
+        vals[mask] |= payload[offsets[mask] + i].astype(np.uint32) << (8 * i)
+    return vals[:n]
+
+
+def encode_u64(values: np.ndarray) -> bytes:
+    """Group-VarInt-64 encode (4 values/group, 3-bit codes in u16 prefix)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return struct.pack("<I", 0)
+    pad = (-n) % 4
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, dtype=np.uint64)])
+    nb = _nbytes_u64(v)
+    codes = (nb - 1).reshape(-1, 4).astype(np.uint16)
+    prefix = (
+        codes[:, 0] | (codes[:, 1] << 3) | (codes[:, 2] << 6) | (codes[:, 3] << 9)
+    ).astype(np.uint16)
+    offsets = np.zeros(len(v), dtype=np.int64)
+    np.cumsum(nb[:-1], out=offsets[1:])
+    total = int(offsets[-1]) + int(nb[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    planes = v.view(np.uint8).reshape(-1, 8)
+    for i in range(8):
+        mask = nb > i
+        out[offsets[mask] + i] = planes[mask, i]
+    return struct.pack("<I", n) + prefix.tobytes() + out.tobytes()
+
+
+def decode_u64(buf: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ngroups = (n + 3) // 4
+    prefix = np.frombuffer(buf, dtype=np.uint16, count=ngroups, offset=4)
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=4 + 2 * ngroups)
+    lens = _LEN4_U64[prefix & 0x0FFF].reshape(-1)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    vals = np.zeros(len(lens), dtype=np.uint64)
+    for i in range(8):
+        mask = lens > i
+        vals[mask] |= payload[offsets[mask] + i].astype(np.uint64) << np.uint64(8 * i)
+    return vals[:n]
+
+
+# ------------------------------------------------------------- delta coding
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 doc ids → u64 gaps (first = value)."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if len(ids) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(len(ids), dtype=np.uint64)
+    out[0] = np.uint64(ids[0])
+    np.subtract(
+        ids[1:].astype(np.uint64), ids[:-1].astype(np.uint64), out=out[1:]
+    )
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    if len(gaps) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.cumsum(gaps.astype(np.uint64)).astype(np.int64)
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted doc_ids int64, tfs) → (doc_payload, tf_payload)."""
+    return encode_u64(delta_encode(doc_ids)), encode_u32(
+        np.ascontiguousarray(tfs, dtype=np.uint32)
+    )
+
+
+def decode_posting(doc_payload: bytes, tf_payload: bytes):
+    return delta_decode(decode_u64(doc_payload)), decode_u32(tf_payload)

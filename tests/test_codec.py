@@ -1,0 +1,79 @@
+"""Codec round-trip invariants (FIXTURES.md §5 #4), numpy + hypothesis."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from codegraph_rust_spark.operators.codec import (
+    decode_posting,
+    decode_u32,
+    decode_u64,
+    delta_decode,
+    delta_encode,
+    encode_posting,
+    encode_u32,
+    encode_u64,
+)
+
+
+def test_u32_roundtrip_edges():
+    for arr in (
+        [],
+        [0],
+        [255, 256, 65535, 65536, 16777215, 16777216, 2**32 - 1],
+        list(range(1000)),
+    ):
+        v = np.array(arr, dtype=np.uint32)
+        assert np.array_equal(decode_u32(encode_u32(v)), v)
+
+
+def test_u64_roundtrip_edges():
+    v = np.array(
+        [0, 1, 255, 256, 2**16, 2**24, 2**32 - 1, 2**32, 2**40, 2**56, 2**63 - 1],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(decode_u64(encode_u64(v)), v)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), max_size=300))
+def test_u32_roundtrip_prop(xs):
+    v = np.array(xs, dtype=np.uint32)
+    assert np.array_equal(decode_u32(encode_u32(v)), v)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+def test_u64_roundtrip_prop(xs):
+    v = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(decode_u64(encode_u64(v)), v)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500, unique=True
+    )
+)
+def test_delta_roundtrip_prop(ids):
+    sorted_ids = np.array(sorted(ids), dtype=np.int64)
+    assert np.array_equal(delta_decode(delta_encode(sorted_ids)), sorted_ids)
+
+
+def test_posting_roundtrip_and_compression():
+    rng = np.random.default_rng(42)
+    doc_ids = np.sort(rng.choice(2**40, size=10_000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=10_000).astype(np.uint32)
+    dp, tp = encode_posting(doc_ids, tfs)
+    d2, t2 = decode_posting(dp, tp)
+    assert np.array_equal(d2, doc_ids)
+    assert np.array_equal(t2, tfs)
+    # dense-ish gaps must compress well below raw 8B/doc
+    assert len(dp) < 10_000 * 8 * 0.8
+    assert len(tp) < 10_000 * 4 * 0.5
+
+
+def test_posting_empty():
+    dp, tp = encode_posting(np.array([], dtype=np.int64), np.array([], dtype=np.uint32))
+    d, t = decode_posting(dp, tp)
+    assert len(d) == 0 and len(t) == 0
