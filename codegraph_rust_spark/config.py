@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+BM25 parameters mirror the reference SEARCH index declaration
+``BM25(1.2, 0.75)`` (reference: schema/codegraph.surql:933,948); the
+analyzer is the reference's ``code_analyzer`` chain (:781).  The
+block size replaces the reference's B-tree order/cache knobs
+(``POSTINGS_ORDER 100`` etc.) as our skip-metadata granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # BM25 (frozen into the index, like the reference's SEARCH index decl)
+    k1: float = 1.2
+    b: float = 0.75
+
+    # analyzer: "snowball" (full reference chain) | "simple" (SQL-oracle mode)
+    analyzer: str = "snowball"
+
+    # posting layout
+    block_size: int = 128          # entries per block-max block
+    term_buckets: int = 32         # postings partition buckets (file pruning)
+
+    # head-term skew: terms with df > salt_df_threshold are split across
+    # salt shards (salt = doc_id mod n_salts(df)), capped at max_salts.
+    # The build-side half of the north rule's explicit skew handling.
+    salt_df_threshold: int = 200_000
+    max_salts: int = 64
+
+    # doc_id assignment: "hash" (xxhash64(url) — shuffle-free, stable
+    # under resume, the 10^12-doc path) | "provided" (df already has
+    # doc_id — driver testdata / pre-keyed corpora)
+    doc_id_mode: str = "hash"
+
+    # parallelism: repartition input into this many partitions before
+    # tokenize (0 = leave as-is; local runs need it because a single
+    # parquet file arrives as one split)
+    input_partitions: int = 0
+
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    k: int = 10
+    # "taat": distributed term-at-a-time (decode → shuffle partials →
+    #         groupBy sum → global top-k). Exhaustive, fully parallel.
+    # "maxscore": block-max MaxScore pruning (WAND family) inside one
+    #         Arrow batch per (query, salt-shard) — skips non-essential
+    #         list enumeration.
+    mode: str = "taat"

@@ -1,0 +1,72 @@
+"""Table layer: parquet-backed catalog with an Iceberg-ready surface.
+
+The reference persists to SurrealDB tables; our design target is
+Iceberg (partition pruning, snapshot-checkpointed resume, atomic
+commits).  This container ships no Iceberg runtime jar, so the same
+interface is implemented over plain parquet directories:
+
+* a table = a directory under the catalog root;
+* commit marker = Spark's ``_SUCCESS`` file (atomicity: readers treat
+  a directory without ``_SUCCESS`` as absent, so a killed write is
+  invisible — the resume semantics Iceberg snapshots would give us);
+* partition columns = physical ``col=value`` subdirectories (same
+  pruning behavior as Iceberg identity/bucket partitioning).
+
+On a real cluster, swap ``write``/``read`` for
+``df.writeTo(f"cat.{name}").overwritePartitions()`` /
+``spark.read.table`` with
+``spark.sql.catalog.cat=org.apache.iceberg.spark.SparkCatalog`` —
+every plan in this repo is expressed against DataFrames, so nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        """Committed = directory exists and carries the _SUCCESS marker."""
+        p = self.path(name)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    def bytes(self, name: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.path(name)):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total

@@ -150,7 +150,7 @@ def generate_pages(
         if noise_marks[i] < 0.05 and raw:
             raw = raw + " \U0001f600 tail\x07noise"
         text = sanitize_text(raw)
-        title = " ".join(toks[:3].tolist()) if len(toks) else f"page {i}"
+        title = " ".join(toks[:3].tolist()) if len(toks) else ""
         html = _HTML_TMPL.format(
             title=_html.escape(title), body=_html.escape(raw), i=i
         ).encode("utf-8")

@@ -1,0 +1,95 @@
+"""Index-build invariants (FIXTURES.md §5 #1,#3) + resume correctness (#7)."""
+
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from codegraph_rust_spark.operators.codec import decode_u32, decode_u64, delta_decode
+
+
+def test_build_metrics(tiny_index):
+    m = tiny_index["metrics"]
+    assert m["n_docs"] == 1000
+    assert m["total_postings"] > 0
+    assert m["docs_per_sec"] > 0
+
+
+def test_docs_table(spark, tiny_index):
+    docs = spark.read.parquet(os.path.join(tiny_index["dir"], "docs"))
+    assert docs.count() == 1000
+    # doc ids unique (hash collisions would violate this)
+    assert docs.select("doc_id").distinct().count() == 1000
+    # empty doc exists (generator plants one)
+    assert docs.filter(F.col("doc_len") == 0).count() >= 1
+
+
+def test_dictionary_invariants(spark, tiny_index):
+    d = tiny_index["dir"]
+    dic = spark.read.parquet(os.path.join(d, "dictionary"))
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    # sum(df) == count of distinct (term, doc) pairs == sum over postings n
+    post = spark.read.parquet(os.path.join(d, "postings"))
+    assert dic.agg(F.sum("df")).collect()[0][0] == \
+        post.agg(F.sum("n")).collect()[0][0]
+    # sum(cf) == total token count == sum(doc_len)
+    assert dic.agg(F.sum("cf")).collect()[0][0] == \
+        docs.agg(F.sum("doc_len")).collect()[0][0]
+
+
+def test_postings_sorted_and_roundtrip(spark, tiny_index):
+    post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
+    rows = post.orderBy(F.desc("n")).limit(20).collect()
+    for r in rows:
+        docs = delta_decode(decode_u64(bytes(r["doc_payload"])))
+        tfs = decode_u32(bytes(r["tf_payload"]))
+        dls = decode_u32(bytes(r["dl_payload"]))
+        assert len(docs) == r["n"] == len(tfs) == len(dls)
+        assert np.all(np.diff(docs) > 0), "doc ids must be strictly increasing"
+        assert tfs.min() >= 1
+        nblocks = len(r["block_last_doc"])
+        assert nblocks == (r["n"] + 127) // 128
+        assert r["block_last_doc"][-1] == docs[-1]
+
+
+def test_salting_caps_group_size(spark, tiny_index):
+    """Head terms (df>200) must be split: no (term,salt) row exceeds
+    ~threshold entries by much, and salted terms have >1 row."""
+    post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
+    salted = post.filter(F.col("df") > 200)
+    if salted.count() > 0:
+        per_term = salted.groupBy("term_id").count().agg(F.max("count")).collect()[0][0]
+        assert per_term > 1, "df>threshold terms should be salt-split"
+        assert salted.agg(F.max("n")).collect()[0][0] <= 200 * 2 + 250
+
+
+def test_manifest_lineage(spark, tiny_index):
+    man = spark.read.parquet(os.path.join(tiny_index["dir"], "build_manifest"))
+    rows = man.collect()
+    assert len(rows) > 0
+    assert all(r["postings"] > 0 and r["bytes"] > 0 for r in rows)
+    post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
+    assert man.agg(F.sum("postings")).collect()[0][0] == \
+        post.agg(F.sum("n")).collect()[0][0]
+
+
+def test_resume_skips_committed_and_rebuilds_missing(spark, tiny_index, tmp_path):
+    """Kill-after-partial-build semantics: drop postings, rerun with
+    resume=True → docs/dict reused, postings rebuilt, index identical."""
+    from codegraph_rust_spark.plans.build import build_index
+
+    src = tiny_index["dir"]
+    work = str(tmp_path / "resume_idx")
+    shutil.copytree(src, work)
+    before = spark.read.parquet(os.path.join(work, "postings")) \
+        .agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    shutil.rmtree(os.path.join(work, "postings"))
+
+    pages = spark.read.parquet(
+        os.path.join(tiny_index["corpus"], "pages.parquet"))
+    m = build_index(spark, pages, work, tiny_index["cfg"], resume=True)
+    assert "docs" in m["resumed"] and "dictionary" in m["resumed"]
+    after = spark.read.parquet(os.path.join(work, "postings")) \
+        .agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    assert tuple(before) == tuple(after)
