@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload and prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload (mirrors BASELINE.md targets):
+  * index build over a deterministic synthetic webtext corpus
+    (docs/sec — the reference's indexing-throughput metric,
+    crates/codegraph-mcp/src/indexer.rs:2192-2216);
+  * BM25 top-10 over the fixed query set — batch (TAAT) and per-query
+    p50 latency (MaxScore);
+  * a sample of the registry operators at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOCS (default 50000 synthetic pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "50000"))
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("codegraph_rust_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .getOrCreate()
+    )
+
+
+def ensure_corpus() -> str:
+    from codegraph_rust_spark.sources.pages_gen import generate_pages
+
+    corpus = os.path.join(REPO, ".data", f"bench_corpus_{N_DOCS}")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        generate_pages(corpus, n_docs=N_DOCS, vocab_size=50_000, mean_len=120)
+    return corpus
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.operators.oracle import load_queries
+    from codegraph_rust_spark.operators.topk import InvertedIndex
+    from codegraph_rust_spark.plans.build import build_index
+
+    corpus = ensure_corpus()
+    spark = get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # ---- index build
+    index_dir = os.path.join(REPO, ".data", f"bench_index_{N_DOCS}_{CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        input_partitions=CPUS * 2,
+        salt_df_threshold=max(2000, N_DOCS // 10),
+        max_salts=16,
+    )
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    t0 = time.time()
+    metrics = build_index(spark, pages, index_dir, cfg, resume=False)
+    timings["index_build"] = round(time.time() - t0, 3)
+
+    # ---- BM25 queries
+    idx = InvertedIndex(spark, index_dir, cfg)
+    queries = load_queries(os.path.join(corpus, "queries.tsv"))
+
+    t0 = time.time()
+    batch = idx.topk_batch(queries, k=10, mode="taat").collect()
+    timings["bm25_batch_taat"] = round(time.time() - t0, 3)
+
+    lat = []
+    for qid, qtext in queries[:12]:
+        t0 = time.time()
+        idx.topk_batch([(qid, qtext)], k=10, mode="maxscore").collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["bm25_p50_maxscore"] = round(lat[len(lat) // 2], 3)
+    timings["bm25_p95_maxscore"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+
+    # ---- registry operators at SF_DIR
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in (
+        "q1_pricing_summary",
+        "bm25_topk",
+        "knn_bruteforce",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "degree_counts",
+        "hybrid_score_topk",
+    ):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index_build_plus_bm25_plus_operators_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "bench_docs": N_DOCS,
+        "docs_per_sec": metrics.get("docs_per_sec"),
+        "postings_per_sec": metrics.get("postings_per_sec"),
+        "total_postings": metrics.get("total_postings"),
+        "bm25_results": len(batch),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Graph query operators — the fn::* graph functions re-expressed.
+
+The reference stores explicit ``edges(from, to, edge_type, weight)``
+(schema/codegraph.surql:833-841).  The driver testdata has no edges
+table, so two deterministic edge views are derived:
+
+* ``lineitem`` edges: from = l_orderkey, to = l_partkey,
+  edge_type = l_returnflag  (bipartite, high fan-out — degree/hub ops);
+* ``part`` functional graph: from = p_partkey,
+  to = (p_partkey * 37 + 11) mod (max(p_partkey)+1)  (has cycles —
+  BFS / cycle ops).  Both definitions are replayed identically in the
+  DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import t
+
+
+def _lineitem_edges(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("from_id"),
+        F.col("l_partkey").alias("to_id"),
+        F.col("l_returnflag").alias("edge_type"),
+    )
+
+
+def degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree hash-agg: out/in counts merged per node, analog of
+    fn::get_hub_nodes' two GROUP BYs + math::sum merge
+    (schema/codegraph.surql:182-201)."""
+    e = _lineitem_edges(spark, sf_dir)
+    out_d = e.groupBy(F.col("from_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("to_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node_id", "full_outer")
+        .select(
+            "node_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
+                "degree"
+            ),
+        )
+    )
+
+
+DEGREE_COUNTS_SQL = """
+WITH e AS (SELECT l_orderkey AS from_id, l_partkey AS to_id FROM lineitem),
+     o AS (SELECT from_id AS node_id, count(*) AS out_degree FROM e GROUP BY 1),
+     i AS (SELECT to_id AS node_id, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT coalesce(o.node_id, i.node_id) AS node_id,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree,
+       coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+"""
+
+
+def hub_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold + top-50 by degree, analog of fn::get_hub_nodes'
+    ``WHERE total >= $min ORDER BY total DESC LIMIT 50``
+    (schema/codegraph.surql:204-210)."""
+    return (
+        degree_counts(spark, sf_dir)
+        .filter(F.col("degree") >= 2)
+        .orderBy(F.desc("degree"), F.asc("node_id"))
+        .limit(50)
+    )
+
+
+HUB_NODES_SQL = f"""
+WITH d AS ({DEGREE_COUNTS_SQL})
+SELECT * FROM d WHERE degree >= 2 ORDER BY degree DESC, node_id LIMIT 50
+"""
+
+
+def edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count by (node, edge_type), analog of fn::edge_types
+    (schema/codegraph.surql:215-216)."""
+    return (
+        _lineitem_edges(spark, sf_dir)
+        .groupBy(F.col("from_id").alias("node_id"), "edge_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EDGE_TYPE_COUNTS_SQL = """
+SELECT l_orderkey AS node_id, l_returnflag AS edge_type, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _part_edges(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    mx = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    return p.select(
+        F.col("p_partkey").alias("from_id"),
+        ((F.col("p_partkey") * 37 + 11) % F.lit(mx)).alias("to_id"),
+    )
+
+
+_PART_EDGES_SQL = """
+SELECT p_partkey AS from_id,
+       (p_partkey * 37 + 11) % (SELECT max(p_partkey) + 1 FROM part) AS to_id
+FROM part
+"""
+
+
+def _involution_edges(spark, sf_dir):
+    """Edges guaranteed to contain 2-cycles: to = (M - p) mod M is an
+    involution, so (a, M-a) and (M-a, a) both exist."""
+    p = t(spark, sf_dir, "part")
+    mx = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    return p.select(
+        F.col("p_partkey").alias("from_id"),
+        ((F.lit(mx) - F.col("p_partkey")) % F.lit(mx)).alias("to_id"),
+    )
+
+
+_INVOLUTION_EDGES_SQL = """
+SELECT p_partkey AS from_id,
+       ((SELECT max(p_partkey) + 1 FROM part) - p_partkey)
+         % (SELECT max(p_partkey) + 1 FROM part) AS to_id
+FROM part
+"""
+
+
+def cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-edge cycle detection: keep (a,b) where (b,a) also exists,
+    a < b to dedup — the O(E) set-membership rewrite of
+    fn::detect_circular_dependencies (schema/codegraph.surql:105-158)."""
+    e = _involution_edges(spark, sf_dir)
+    rev = e.select(
+        F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id")
+    )
+    return (
+        e.join(rev, ["from_id", "to_id"], "left_semi")
+        .filter(F.col("from_id") < F.col("to_id"))
+        .select(F.col("from_id").alias("a"), F.col("to_id").alias("b"))
+    )
+
+
+CYCLE_DETECT_SQL = f"""
+WITH e AS ({_INVOLUTION_EDGES_SQL})
+SELECT e.from_id AS a, e.to_id AS b
+FROM e
+WHERE EXISTS (SELECT 1 FROM e r WHERE r.from_id = e.to_id AND r.to_id = e.from_id)
+  AND e.from_id < e.to_id
+"""
+
+
+def transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (depth ≤ 3) with min-depth dedup, analog of
+    fn::get_transitive_dependencies' iterated self-join + math::min
+    GROUP BY (schema/codegraph.surql:254-276). Start node = 1."""
+    e = _part_edges(spark, sf_dir).persist()
+    lvl1 = e.filter(F.col("from_id") == 1).select(
+        F.col("to_id").alias("node_id"), F.lit(1).alias("depth")
+    )
+    lvl2 = (
+        e.join(lvl1.select(F.col("node_id").alias("from_id")), "from_id")
+        .select(F.col("to_id").alias("node_id"), F.lit(2).alias("depth"))
+    )
+    lvl3 = (
+        e.join(lvl2.select(F.col("node_id").alias("from_id")), "from_id")
+        .select(F.col("to_id").alias("node_id"), F.lit(3).alias("depth"))
+    )
+    return (
+        lvl1.unionByName(lvl2)
+        .unionByName(lvl3)
+        .filter(F.col("node_id") != 1)
+        .groupBy("node_id")
+        .agg(F.min("depth").alias("depth"))
+    )
+
+
+TRANSITIVE_DEPS_SQL = f"""
+WITH e AS ({_PART_EDGES_SQL}),
+     l1 AS (SELECT to_id AS node_id, 1 AS depth FROM e WHERE from_id = 1),
+     l2 AS (SELECT e.to_id AS node_id, 2 AS depth FROM e JOIN l1 ON e.from_id = l1.node_id),
+     l3 AS (SELECT e.to_id AS node_id, 3 AS depth FROM e JOIN l2 ON e.from_id = l2.node_id)
+SELECT node_id, min(depth) AS depth
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+WHERE node_id != 1
+GROUP BY node_id
+"""

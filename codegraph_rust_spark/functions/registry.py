@@ -1,0 +1,66 @@
+"""Query registry: the driver-contract map of named operators.
+
+Analog of the reference's 15+ ``DEFINE FUNCTION fn::*`` stored query
+templates (schema/codegraph.surql:13-1076) — Python functions that
+return DataFrames, paired with the DuckDB oracle SQL the driver runs
+side-by-side at sf0.01.  Entries whose semantics depend on Spark's
+hash functions (minhash/simhash) have no SQL mirror → rows-only check.
+"""
+
+from __future__ import annotations
+
+from . import dedup_approx as da
+from . import graph as g
+from . import relational as r
+from . import textops as tx
+
+# name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict = {
+    # relational / fn::* analogs
+    "q1_pricing_summary": (r.q1_pricing_summary, r.Q1_SQL),
+    "node_info": (r.node_info, r.NODE_INFO_SQL),
+    "per_group_top5": (r.per_group_top5, r.PER_GROUP_TOP5_SQL),
+    "min_max_normalize": (r.min_max_normalize, r.MIN_MAX_NORMALIZE_SQL),
+    "multi_vector_or_max": (r.multi_vector_or_max, r.MULTI_VECTOR_OR_MAX_SQL),
+    "multi_vector_and_avg": (r.multi_vector_and_avg, r.MULTI_VECTOR_AND_AVG_SQL),
+    "events_hourly": (r.events_hourly, r.EVENTS_HOURLY_SQL),
+    "events_json_extract": (r.events_json_extract, r.EVENTS_JSON_EXTRACT_SQL),
+    "coupling_metrics": (r.coupling_metrics, r.COUPLING_METRICS_SQL),
+    # graph fn::* analogs
+    "degree_counts": (g.degree_counts, g.DEGREE_COUNTS_SQL),
+    "hub_nodes": (g.hub_nodes, g.HUB_NODES_SQL),
+    "edge_type_counts": (g.edge_type_counts, g.EDGE_TYPE_COUNTS_SQL),
+    "cycle_detect": (g.cycle_detect, g.CYCLE_DETECT_SQL),
+    "transitive_deps": (g.transitive_deps, g.TRANSITIVE_DEPS_SQL),
+    # inverted-index / BM25 (SQL-expressible slice)
+    "doc_stats": (tx.doc_stats, tx.DOC_STATS_SQL),
+    "dictionary_stats": (tx.dictionary_stats, tx.DICTIONARY_STATS_SQL),
+    "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
+    "term_postings": (tx.term_postings, tx.TERM_POSTINGS_SQL),
+    "bm25_topk": (tx.bm25_topk, tx.BM25_TOPK_SQL),
+    "find_docs_by_term": (tx.find_docs_by_term, tx.FIND_DOCS_BY_TERM_SQL),
+    "top_sources": (tx.top_sources, tx.TOP_SOURCES_SQL),
+    # text analysis (training pipeline)
+    "token_count": (tx.token_count, tx.TOKEN_COUNT_SQL),
+    "quality_score": (tx.quality_score, tx.QUALITY_SCORE_SQL),
+    "lang_id_heuristic": (tx.lang_id_heuristic, tx.LANG_ID_SQL),
+    # dedup family
+    "exact_dedup_groups": (tx.exact_dedup_groups, tx.EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (tx.ngram_jaccard_pairs, tx.NGRAM_JACCARD_SQL),
+    "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
+    "minhash_lsh_pairs": (da.minhash_lsh_pairs, None),
+    "simhash_near_pairs": (da.simhash_near_pairs, None),
+    # similarity / vectors
+    "knn_bruteforce": (tx.knn_bruteforce, tx.KNN_BRUTEFORCE_SQL),
+    "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),
+    "embedding_mean_pool": (tx.embedding_mean_pool, tx.EMBEDDING_MEAN_POOL_SQL),
+    "hybrid_score_topk": (tx.hybrid_score_topk, tx.HYBRID_SCORE_TOPK_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

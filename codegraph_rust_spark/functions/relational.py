@@ -1,0 +1,305 @@
+"""Relational operators — projections, aggregations, windows, set ops.
+
+Each function mirrors a reference construct (SurrealQL stored function
+or Rust search-pipeline stage, cited per function) re-expressed as a
+declarative DataFrame plan; Catalyst supplies pushdown/pruning/join
+selection.  Float outputs are rounded so the DuckDB oracle hashes
+match bit-for-bit despite summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .common import t
+
+
+# --------------------------------------------------------------- aggregation
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregation (reference analog: per-project
+    stats rollups, fn::count_nodes_for_project — schema/codegraph.surql:1069-1076)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- projection
+
+def node_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename, analog of fn::node_info's 7-column project
+    with ``node_type AS kind`` (schema/codegraph.surql:277-281)."""
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("name"),
+            F.col("p_type").alias("kind"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").alias("size"),
+            F.round(F.col("p_retailprice"), 2).alias("price"),
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+NODE_INFO_SQL = """
+SELECT p_partkey AS id, p_name AS name, p_type AS kind, p_brand AS brand,
+       p_size AS size, round(p_retailprice, 2) AS price
+FROM part ORDER BY id LIMIT 100
+"""
+
+
+# ------------------------------------------------------------------ windows
+
+def per_group_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LIMIT 5, analog of the per-result edge-LIMIT subselect
+    (schema/codegraph.surql:514-535) as row_number ≤ 5."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+PER_GROUP_TOP5_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 5
+"""
+
+
+def min_max_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max score normalization over a result group, analog of
+    normalize_scores (crates/codegraph-vector/src/search.rs:574-592)."""
+    w = Window.partitionBy("event_type")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.min("value").over(w))
+            / F.nullif(
+                F.max("value").over(w) - F.min("value").over(w), F.lit(0.0)
+            ),
+            6,
+        ).alias("norm_score"),
+    )
+
+
+MIN_MAX_NORMALIZE_SQL = """
+SELECT event_id, event_type,
+       round((value - min(value) OVER w)
+             / nullif(max(value) OVER w - min(value) OVER w, 0.0), 6)
+       AS norm_score
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+# ------------------------------------------------------------------ set ops
+
+def multi_vector_or_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-union with max-score merge over two result sets, analog of
+    multi-vector OR mode (crates/codegraph-vector/src/search.rs:347-372)."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.max("value").alias("score")
+    )
+    b = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.max("value").alias("score")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.round(F.max("score"), 2).alias("score"))
+    )
+
+
+MULTI_VECTOR_OR_MAX_SQL = """
+WITH a AS (SELECT user_id, max(value) AS score FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+     b AS (SELECT user_id, max(value) AS score FROM events
+           WHERE event_type = 'view' GROUP BY user_id)
+SELECT user_id, round(max(score), 2) AS score
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+GROUP BY user_id
+"""
+
+
+def multi_vector_and_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-intersection with average-score merge (require membership in
+    all sets), analog of search.rs:374-418 (count == n_queries gate)."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.max("value").alias("score")
+    )
+    b = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.max("value").alias("score")
+    )
+    u = a.unionByName(b)
+    return (
+        u.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("score"), 6).alias("score"))
+        .filter(F.col("n") == 2)
+        .select("user_id", "score")
+    )
+
+
+MULTI_VECTOR_AND_AVG_SQL = """
+WITH a AS (SELECT user_id, max(value) AS score FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+     b AS (SELECT user_id, max(value) AS score FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+     u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT user_id, round(avg(score), 6) AS score
+FROM u GROUP BY user_id HAVING count(*) = 2
+"""
+
+
+# ------------------------------------------------------- time / json scalars
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (1h) counts — batch form of the streaming rollup
+    (reference has CDC-style incrementality, indexer.rs:3186-3251; event
+    windows are our training-pipeline extension)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the FLEXIBLE-metadata analog
+    (reference metadata object columns, schema/codegraph.surql:838,924)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return (
+        e.groupBy(F.pmod(F.col("k"), F.lit(10)).cast("int").alias("kbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT cast(cast(json_extract_string(props, '$.k') AS int) % 10 AS int) AS kbucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ metrics
+
+def coupling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Afferent/efferent coupling + instability ratio, analog of
+    fn::calculate_coupling_metrics (schema/codegraph.surql:24-102) with
+    nations as modules, customers as efferent and suppliers as afferent
+    edges; instability = Ce / (Ca + Ce) with the reference's rounding."""
+    n = t(spark, sf_dir, "nation")
+    ce = t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("efferent")
+    )
+    ca = t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("afferent")
+    )
+    return (
+        n.join(ce, n.n_nationkey == ce.c_nationkey, "left")
+        .join(ca, n.n_nationkey == ca.s_nationkey, "left")
+        .select(
+            F.col("n_nationkey").alias("nation_key"),
+            F.col("n_name").alias("nation"),
+            F.coalesce("efferent", F.lit(0)).alias("efferent"),
+            F.coalesce("afferent", F.lit(0)).alias("afferent"),
+            F.round(
+                F.coalesce("efferent", F.lit(0))
+                / F.nullif(
+                    (F.coalesce("afferent", F.lit(0)) + F.coalesce("efferent", F.lit(0))).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("instability"),
+        )
+    )
+
+
+COUPLING_METRICS_SQL = """
+WITH ce AS (SELECT c_nationkey, count(*) AS efferent FROM customer GROUP BY 1),
+     ca AS (SELECT s_nationkey, count(*) AS afferent FROM supplier GROUP BY 1)
+SELECT n.n_nationkey AS nation_key, n.n_name AS nation,
+       coalesce(ce.efferent, 0) AS efferent,
+       coalesce(ca.afferent, 0) AS afferent,
+       round(coalesce(ce.efferent, 0)
+             / nullif(cast(coalesce(ca.afferent, 0) + coalesce(ce.efferent, 0) AS double), 0.0),
+             6) AS instability
+FROM nation n
+LEFT JOIN ce ON n.n_nationkey = ce.c_nationkey
+LEFT JOIN ca ON n.n_nationkey = ca.s_nationkey
+"""

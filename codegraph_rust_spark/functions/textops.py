@@ -1,0 +1,596 @@
+"""Text / retrieval / dedup / similarity operators over ``documents``
+and ``embeddings`` — the training-data-pipeline surface plus the
+SQL-expressible slice of the BM25 engine.
+
+These use the "simple" analyzer (lower → split(' ') → drop empties)
+so the DuckDB oracle can replay tokenization exactly; the full
+snowball analyzer path is oracled by the in-repo Python oracle
+(operators/oracle.py) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import t
+
+def _TOKS():
+    # lower → split single space → drop empties (== DuckDB
+    # list_filter(string_split(lower(text),' '), x -> x <> ''))
+    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+
+BM25_QUERY_TERMS = ["key", "agg", "row", "scan"]
+
+
+def _toks_df(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_TOKS()).alias("term")
+    )
+
+
+def _dl_df(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_TOKS()).alias("doc_len")
+    )
+
+
+# ----------------------------------------------------------------- doc stats
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts — the doc_lengths SEARCH sub-store
+    (schema/codegraph.surql:933 DOC_LENGTHS_ORDER) as an explicit table."""
+    return _dl_df(spark, sf_dir)
+
+
+DOC_STATS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS doc_len
+FROM documents
+"""
+
+
+def dictionary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary (term, df, cf) — the terms sub-store
+    (schema/codegraph.surql:933 TERMS_ORDER)."""
+    return _toks_df(spark, sf_dir).groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf")
+    )
+
+
+DICTIONARY_STATS_SQL = """
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents)
+GROUP BY term
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N/avgdl corpus scalars (BM25 length normalization inputs)."""
+    return _dl_df(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+        F.sum("doc_len").alias("n_tokens"),
+    )
+
+
+CORPUS_STATS_SQL = """
+SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl, sum(doc_len) AS n_tokens
+FROM (SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS doc_len
+      FROM documents)
+"""
+
+
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings as rows for the fixed query terms — the uncompressed
+    logical content of the postings sub-store (surql:933 POSTINGS_ORDER)."""
+    toks = _toks_df(spark, sf_dir)
+    return (
+        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+TERM_POSTINGS_SQL = """
+SELECT term, doc_id, count(*) AS tf
+FROM (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents)
+WHERE term IN ('key', 'agg', 'row', 'scan')
+GROUP BY term, doc_id
+"""
+
+
+# ----------------------------------------------------------------- BM25 SQL
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive BM25(1.2, 0.75) top-10 over documents for the fixed
+    query — the 'degenerate index' end-to-end slice (SURVEY.md §7):
+    tf/df/dl via joins, scoring in whole-stage-codegen expressions,
+    TakeOrderedAndProject top-k. Semantics of surql:425-447."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dl = _dl_df(spark, sf_dir)
+    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    toks = _toks_df(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame([(x,) for x in BM25_QUERY_TERMS], "term string")
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dfr, "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * (1.2 + 1.0))
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("doc_len") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS doc_len
+  FROM documents
+),
+stats AS (
+  SELECT cast(count(*) AS double) AS n_docs, avg(doc_len) AS avgdl FROM dl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfr USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ('key', 'agg', 'row', 'scan')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS int) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def find_docs_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring containment filter, analog of
+    ``string::lowercase(name) CONTAINS $q`` (schema/codegraph.surql:162)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.contains(F.lower(F.col("text")), F.lit("spark")))
+        .select("doc_id", "n_chars")
+    )
+
+
+FIND_DOCS_BY_TERM_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE contains(lower(text), 'spark')
+"""
+
+
+def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup by source with distinct-language list, analog of
+    fn::get_top_directories (schema/codegraph.surql:1051-1066)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(10)
+    )
+
+
+TOP_SOURCES_SQL = """
+SELECT source, count(*) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY source
+ORDER BY n_docs DESC, source LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- text stats
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and BPE-ish regex runs."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_TOKS()).alias("n_ws_tokens"),
+        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tokens
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, alpha ratio
+    (training-pipeline doc filtering)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(_TOKS())
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round((n_chars - (n_words - 1)).cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6).alias("mean_word_len"),
+        F.round(n_alpha.cast("double") / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6).alias("alpha_ratio"),
+    )
+
+
+QUALITY_SCORE_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words,
+       round(cast(length(text) - (len(list_filter(string_split(lower(text), ' '), x -> x <> '')) - 1) AS double)
+             / nullif(cast(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS double), 0.0), 6) AS mean_word_len,
+       round(cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS double)
+             / nullif(cast(length(text) AS double), 0.0), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID heuristic: frequency of common English bigrams
+    per character (training-pipeline language filter)."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def bigram_count(bg: str):
+        return (F.length(low) - F.length(F.regexp_replace(low, bg, ""))) / F.lit(
+            float(len(bg))
+        )
+
+    rate = (
+        (bigram_count("th") + bigram_count("er") + bigram_count("on") + bigram_count("an"))
+        / F.nullif(F.length(low).cast("double"), F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(rate, 6).alias("en_bigram_rate"),
+        F.when(rate >= 0.01, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+LANG_ID_SQL = """
+SELECT doc_id,
+       round(((length(lower(text)) - length(replace(lower(text), 'th', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'er', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'on', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'an', ''))) / 2.0)
+            / nullif(cast(length(lower(text)) AS double), 0.0), 6) AS en_bigram_rate,
+       CASE WHEN ((length(lower(text)) - length(replace(lower(text), 'th', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'er', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'on', ''))) / 2.0
+            + (length(lower(text)) - length(replace(lower(text), 'an', ''))) / 2.0)
+            / nullif(cast(length(lower(text)) AS double), 0.0) >= 0.01
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- dedup
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy — the reference's SHA-256
+    content_hash ledger semantics (file_metadata, surql:856-870;
+    detect_file_changes indexer.rs:3186-3251)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _trigrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(a) - 3, 0)), "
+                "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+            )
+        ).alias("sh"),
+    ).filter(F.size(F.split(F.col("sh"), " ")) == 3).distinct()
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-trigram Jaccard ≥ 0.1 — the
+    shingle→intersect→ratio pattern (reference's trigram Jaccard
+    similarity for symbols, indexer.rs:2883-2964, applied doc-level)."""
+    sh = _trigrams(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toksa AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, a[g] || ' ' || a[g+1] || ' ' || a[g+2] AS sh
+  FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 2, 0))) AS g
+        FROM toksa)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / cast(sa.n_sh + sb.n_sh - common AS double), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / cast(sa.n_sh + sb.n_sh - common AS double) >= 0.1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct trigram set
+    (order-insensitive content signature; analog of the reference's
+    content-hash identity, types.rs:13-34)."""
+    sh = _trigrams(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("sh")), "|")).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH toksa AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, a[g] || ' ' || a[g+1] || ' ' || a[g+2] AS sh
+  FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 2, 0))) AS g
+        FROM toksa)
+)
+SELECT doc_id, md5(array_to_string(list_sort(list(sh)), '|')) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------- similarity
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the exhaustive baseline of the KNN sort (surrealdb_storage.rs:295-303;
+    surql:621-627). Dot products in whole-stage-codegen higher-order
+    functions (no Python)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dot = "aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
+    nrm = "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v))"
+    qnrm = "sqrt(aggregate(transform(q_emb, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v))"
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"), 6))
+        .select("vec_id", "cosine")
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_dot_product(cast(e.embedding AS double[]), cast(q.q_emb AS double[]))
+           / (sqrt(list_dot_product(cast(e.embedding AS double[]), cast(e.embedding AS double[])))
+              * sqrt(list_dot_product(cast(q.q_emb AS double[]), cast(q.q_emb AS double[])))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-style bucketed ANN: 4-bit sign signature over fixed
+    components prunes the candidate set, then exact cosine within the
+    query's bucket — the IVF/LSH two-stage shape of the reference's
+    1M-vector path (CHANGELOG.md:1079-1082), scale path for ANN."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in (1, 8, 20, 32)
+        ]
+    ).alias("bucket")
+    eb = e.select("vec_id", "embedding", sig)
+    qb = eb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    dot = "aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
+    nrm = "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v))"
+    qnrm = "sqrt(aggregate(transform(q_emb, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v))"
+    from pyspark.sql import Window
+
+    scored = (
+        eb.join(F.broadcast(qb), eb.bucket == qb.q_bucket)
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"), 6))
+        .select("vec_id", "bucket", "cosine")
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+ANN_SIGNBUCKET_SQL = """
+WITH eb AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM eb WHERE vec_id = 0),
+scored AS (
+  SELECT eb.vec_id, eb.bucket,
+         round(
+           list_dot_product(cast(eb.embedding AS double[]), cast(q.q_emb AS double[]))
+           / (sqrt(list_dot_product(cast(eb.embedding AS double[]), cast(eb.embedding AS double[])))
+              * sqrt(list_dot_product(cast(q.q_emb AS double[]), cast(q.q_emb AS double[])))),
+           6) AS cosine
+  FROM eb JOIN q ON eb.bucket = q.q_bucket
+)
+SELECT vec_id, bucket, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool partial aggregation per label over embedding arrays —
+    the per-node chunk-embedding average (chunker.rs:335-374) as a
+    posexplode + partial-avg plan (first 8 dims, long format)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("avg_val"))
+    )
+
+
+EMBEDDING_MEAN_POOL_SQL = """
+SELECT label, cast(g - 1 AS int) AS pos,
+       round(avg(cast(embedding[g] AS double)), 6) AS avg_val
+FROM (SELECT label, embedding, unnest(generate_series(1, 8)) AS g FROM embeddings)
+GROUP BY label, g
+"""
+
+
+def hybrid_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid 0.9·vector + 0.1·text combined top-k — the reference's
+    hybrid fusion (schema/codegraph.surql:452-478, weights :471) with
+    documents.doc_id ≡ embeddings.vec_id."""
+    from pyspark.sql import Window
+
+    text = bm25_topk(spark, sf_dir).select(
+        F.col("doc_id"), F.col("score").alias("text_score")
+    )
+    vec = knn_bruteforce(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("vector_score")
+    )
+    combined = (
+        vec.join(text, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                0.9 * F.coalesce("vector_score", F.lit(0.0))
+                + 0.1 * F.coalesce("text_score", F.lit(0.0)),
+                6,
+            ).alias("combined_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("combined_score"), F.asc("doc_id"))
+    return (
+        combined.orderBy(F.desc("combined_score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+HYBRID_SCORE_TOPK_SQL = f"""
+WITH text_hits AS (
+  SELECT doc_id, score AS text_score FROM ({BM25_TOPK_SQL})
+),
+vec_hits AS (
+  SELECT vec_id AS doc_id, cosine AS vector_score FROM ({KNN_BRUTEFORCE_SQL})
+),
+combined AS (
+  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+         round(0.9 * coalesce(v.vector_score, 0.0)
+               + 0.1 * coalesce(t.text_score, 0.0), 6) AS combined_score
+  FROM vec_hits v FULL OUTER JOIN text_hits t ON v.doc_id = t.doc_id
+)
+SELECT doc_id, combined_score,
+       cast(row_number() OVER (ORDER BY combined_score DESC, doc_id) AS int) AS rank
+FROM combined ORDER BY combined_score DESC, doc_id LIMIT 10
+"""

@@ -1,0 +1,127 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+The north rule requires throughput scaling efficiency ≥ 0.8 from N to
+4N executors.  No real cluster exists in this sandbox, so (per
+BASELINE.md) the same build+query job runs via ``spark-submit
+--py-files`` at ``local[8]`` (N) and ``local[32]`` (4N) on the same
+input; this script reports throughput at both, the efficiency
+(T_N / T_4N) / 4, and the top-k output hashes (parallelism
+invariance), and rewrites BENCH.md.
+
+Usage: python scripts/scaling_bench.py [--docs 50000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pkg_zip() -> str:
+    zpath = os.path.join(REPO, ".data", "codegraph_rust_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "codegraph_rust_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_level(cpus: int, corpus: str, pkg_zip: str, salt_threshold: int) -> dict:
+    index_dir = os.path.join(REPO, ".data", f"scaling_index_{cpus}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "24g",
+        "--py-files", pkg_zip,
+        "--conf", "spark.sql.adaptive.enabled=true",
+        os.path.join(REPO, "scripts", "bench_job.py"),
+        "--corpus", corpus,
+        "--index-dir", index_dir,
+        "--cpus", str(cpus),
+        "--salt-threshold", str(salt_threshold),
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_zip
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_JOB_RESULT "):
+            return json.loads(line[len("BENCH_JOB_RESULT "):])
+    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-5000:])
+    raise RuntimeError(f"bench_job at local[{cpus}] produced no result")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from codegraph_rust_spark.sources.pages_gen import generate_pages
+
+    corpus = os.path.join(REPO, ".data", f"bench_corpus_{args.docs}")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        generate_pages(corpus, n_docs=args.docs, vocab_size=50_000, mean_len=120)
+
+    pkg_zip = make_pkg_zip()
+    salt_threshold = max(2000, args.docs // 10)
+    lo = run_level(args.n, corpus, pkg_zip, salt_threshold)
+    hi = run_level(args.xn, corpus, pkg_zip, salt_threshold)
+
+    factor = args.xn / args.n
+    eff = (lo["build_s"] / hi["build_s"]) / factor
+    result = {
+        "n_cpus": args.n,
+        "xn_cpus": args.xn,
+        "N": lo,
+        "4N": hi,
+        "scaling_efficiency": round(eff, 3),
+        "parallelism_invariant": lo["topk_hash"] == hi["topk_hash"],
+    }
+    print(json.dumps(result, indent=2))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(_render_md(args, lo, hi, eff))
+
+
+def _render_md(args, lo, hi, eff) -> str:
+    return f"""# BENCH — scaling evidence (BASELINE.md protocol)
+
+Same build+query job via `spark-submit --py-files` on the same input
+({lo['n_docs']} synthetic Common-Crawl-style pages, seed 42) at two
+parallelism levels (sandbox substitute for N vs 4N executors).
+
+| metric | local[{args.n}] (N) | local[{args.xn}] (4N) |
+|---|---|---|
+| index build wall (s) | {lo['build_s']} | {hi['build_s']} |
+| docs/sec | {lo['docs_per_sec']} | {hi['docs_per_sec']} |
+| postings/sec | {lo['postings_per_sec']} | {hi['postings_per_sec']} |
+| BM25 batch (all queries, TAAT) s | {lo['bm25_batch_s']} | {hi['bm25_batch_s']} |
+| BM25 top-10 p50 (MaxScore) s | {lo['bm25_p50_s']} | {hi['bm25_p50_s']} |
+| BM25 top-10 p95 s | {lo['bm25_p95_s']} | {hi['bm25_p95_s']} |
+| top-k output hash | {lo['topk_hash']} | {hi['topk_hash']} |
+
+**Scaling efficiency (build): (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8)
+
+Parallelism invariance: top-k hashes {'MATCH' if lo['topk_hash'] == hi['topk_hash'] else 'DIFFER'} —
+identical ranked (qid, rank, doc_id, score@1e-9) sets at both levels.
+"""
+
+
+if __name__ == "__main__":
+    main()

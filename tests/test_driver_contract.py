@@ -1,0 +1,78 @@
+"""Replays the driver's correctness gate locally: for every registry
+entry with an oracle, run the Spark query and the DuckDB SQL at sf0.01
+and compare row counts + order-insensitive values (with float
+tolerance at the rounded precision)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ducked():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ducked, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    cols = sdf.columns
+    spark_rows = [[r[c] for c in sorted(cols)] for r in sdf.collect()]
+
+    odf = ducked.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(cols) == sorted(odf.columns.tolist()), (
+        f"{name}: column mismatch {cols} vs {odf.columns.tolist()}"
+    )
+    oracle_rows = odf[sorted(cols)].values.tolist()
+
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{name}: {len(spark_rows)} rows vs oracle {len(oracle_rows)}"
+    )
+    s, o = _rowset(spark_rows), _rowset(oracle_rows)
+    mism = [(a, b) for a, b in zip(s, o) if a != b][:5]
+    assert s == o, f"{name}: value mismatch, first diffs: {mism}"
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for name in set(qs) - set(ORACLED):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"doc_id", "combined_score", "rank"} <= set(df.columns)
