@@ -40,6 +40,7 @@ TOKENIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("url", T.StringType()),
+        T.StructField("content_hash", T.LongType()),
         T.StructField("doc_len", T.LongType()),
         T.StructField("tfs", T.MapType(T.StringType(), T.IntegerType())),
     ]
@@ -79,7 +80,12 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         pages = pages.withColumn("url", F.col("doc_id").cast("string"))
 
     src_col = "html" if use_html else "text"
-    inp = pages.select("doc_id", "url", src_col)
+    # content hash (JVM xxhash64) = the reference's SHA-256 file-hash
+    # ledger key (indexer.rs:3161-3183) driving incremental change
+    # detection; rides through the tokenize batch untouched.
+    inp = pages.select(
+        "doc_id", "url", F.xxhash64(src_col).alias("content_hash"), src_col
+    )
 
     def run(batches):
         for pdf in batches:
@@ -101,6 +107,7 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "url": pdf["url"].to_numpy(),
+                    "content_hash": pdf["content_hash"].to_numpy(),
                     "doc_len": doc_lens,
                     "tfs": tf_maps,
                 }
@@ -160,52 +167,106 @@ def build_postings(
 ) -> DataFrame:
     """(term_id, salt) groups → compressed posting rows with block-max.
 
-    Runs as applyInPandas: inside each group everything is numpy.
-    Block-max scores are exact BM25(k1, b) partials — the skip metadata
-    that drives MaxScore/WAND pruning at query time.
+    SPIMI formulation: shuffle once on (term_id, salt), sort within
+    partitions by (term_id, salt, doc_id), then stream each partition
+    through ONE ``mapInPandas`` pass that slices term runs with numpy
+    boundary detection — thousands of terms per Arrow batch, no
+    per-group pandas overhead (an earlier per-term ``applyInPandas``
+    version spent milliseconds of pure overhead on every tiny tail
+    term; with web-scale Zipf vocabularies almost all terms are tail).
+    Doc ids arrive pre-sorted from the shuffle sort, so encoding is a
+    straight sweep.  Block-max scores are exact BM25(k1, b) partials —
+    the skip metadata for MaxScore/WAND pruning.
+
+    Memory: salting caps every (term_id, salt) run at roughly
+    salt_df_threshold entries, so the carry buffer between Arrow
+    batches stays bounded regardless of term skew (the north rule's
+    build-side skew handling).
     """
     k1, b, block = cfg.k1, cfg.b, cfg.block_size
     N = max(int(n_docs), 1)
     avgdl = float(avgdl) if avgdl else 1.0
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-        df_global = int(pdf["df"].iloc[0])
-        term_id = int(pdf["term_id"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
-        n = len(doc_ids)
-
-        idf = float(np.log((N - df_global + 0.5) / (df_global + 0.5) + 1.0))
-        scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-
-        nblocks = (n + block - 1) // block
-        pad = nblocks * block - n
-        sc_pad = np.pad(scores, (0, pad), constant_values=-np.inf)
-        block_max = sc_pad.reshape(nblocks, block).max(axis=1)
-        block_last = doc_ids[
-            np.minimum(np.arange(1, nblocks + 1) * block - 1, n - 1)
-        ]
-
-        return pd.DataFrame(
-            {
-                "term_id": [term_id],
-                "salt": [salt],
-                "df": [df_global],
-                "n": [n],
-                "doc_payload": [encode_u64(delta_encode(doc_ids))],
-                "tf_payload": [encode_u32(tfs.astype(np.uint32))],
-                "dl_payload": [encode_u32(np.minimum(dls, 2**32 - 1).astype(np.uint32))],
-                "block_last_doc": [block_last.tolist()],
-                "block_max": [block_max.tolist()],
-            }
+    def encode_runs(term_ids, salts, doc_ids, tfs, dls, dfs, out):
+        """Slice one concatenated sorted chunk into (term,salt) runs and
+        emit one posting row per run into `out` (list of dicts)."""
+        n = len(term_ids)
+        if n == 0:
+            return
+        # run boundaries where (term_id, salt) changes
+        change = np.nonzero(
+            (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
+        )[0]
+        starts = np.concatenate([[0], change + 1])
+        ends = np.concatenate([change + 1, [n]])
+        idfs = np.log((N - dfs + 0.5) / (dfs + 0.5) + 1.0)
+        scores = idfs * (tfs * (k1 + 1.0)) / (
+            tfs + k1 * (1.0 - b + b * dls / avgdl)
         )
+        for s, e in zip(starts, ends):
+            d = doc_ids[s:e]
+            run_n = e - s
+            nblocks = (run_n + block - 1) // block
+            sc = scores[s:e]
+            pad = nblocks * block - run_n
+            sc_pad = np.pad(sc, (0, pad), constant_values=-np.inf)
+            block_max = sc_pad.reshape(nblocks, block).max(axis=1)
+            block_last = d[np.minimum(np.arange(1, nblocks + 1) * block - 1, run_n - 1)]
+            out.append(
+                (
+                    int(term_ids[s]),
+                    int(salts[s]),
+                    int(dfs[s]),
+                    int(run_n),
+                    encode_u64(delta_encode(d)),
+                    encode_u32(tfs[s:e].astype(np.uint32)),
+                    encode_u32(np.minimum(dls[s:e], 2**32 - 1).astype(np.uint32)),
+                    block_last.tolist(),
+                    block_max.tolist(),
+                )
+            )
 
-    out = tf_salted.groupBy("term_id", "salt").applyInPandas(
-        build, schema=POSTINGS_SCHEMA
+    cols = ("term_id", "salt", "doc_id", "tf", "doc_len", "df")
+
+    def run(batches):
+        carry = None  # trailing partial run from the previous batch
+        for pdf in batches:
+            arrs = [pdf[c].to_numpy() for c in cols]
+            if carry is not None:
+                arrs = [np.concatenate([c0, a]) for c0, a in zip(carry, arrs)]
+            term_ids, salts, doc_ids, tfs, dls, dfs = (
+                arrs[0],
+                arrs[1],
+                arrs[2].astype(np.int64),
+                arrs[3].astype(np.int64),
+                arrs[4].astype(np.int64),
+                arrs[5].astype(np.int64),
+            )
+            n = len(term_ids)
+            if n == 0:
+                continue
+            # hold back the last run — it may continue in the next batch
+            bound = np.nonzero(
+                (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
+            )[0]
+            last_start = int(bound[-1]) + 1 if len(bound) else 0
+            carry = tuple(a[last_start:] for a in (term_ids, salts, doc_ids, tfs, dls, dfs))
+            out: list = []
+            encode_runs(
+                term_ids[:last_start], salts[:last_start], doc_ids[:last_start],
+                tfs[:last_start], dls[:last_start], dfs[:last_start], out,
+            )
+            if out:
+                yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
+        if carry is not None and len(carry[0]):
+            out = []
+            encode_runs(*carry, out)
+            yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
+
+    parted = tf_salted.repartition("term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
     )
+    out = parted.mapInPandas(run, schema=POSTINGS_SCHEMA)
     return out.withColumn(
         "tbucket", F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).cast("int")
     )

@@ -42,6 +42,7 @@ CORPUS = "corpus_stats"
 DICT = "dictionary"
 POSTINGS = "postings"
 MANIFEST = "build_manifest"
+TFS = "tfs"
 
 
 def build_index(
@@ -75,13 +76,18 @@ def build_index(
 
     # ---- stage 1+2: tokenize → docs + tf (persisted once, used twice)
     done = {name: stage_done(name) for name in (DOCS, CORPUS, DICT, POSTINGS)}
+    # a committed tfs table makes re-tokenization unnecessary on resume
+    # (tokenize = extract+stem = the dominant build cost)
+    tfs_ready = resume and cfg.write_tf and cat.exists(TFS)
     tokenized = None
-    if not (done[DOCS] and done[DICT] and done[POSTINGS]):
+    if not (done[DOCS] and done[DICT] and done[POSTINGS]) and not (
+        tfs_ready and done[DOCS]
+    ):
         tokenized = tokenize_stage(pages, cfg).persist()
 
     if not done[DOCS]:
         def _docs():
-            cat.write(tokenized.select("doc_id", "url", "doc_len"), DOCS)
+            cat.write(tokenized.select("doc_id", "url", "content_hash", "doc_len"), DOCS)
         timed(DOCS, _docs)
 
     docs = cat.read(spark, DOCS)
@@ -102,6 +108,17 @@ def build_index(
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
 
     tf = explode_tf(tokenized) if tokenized is not None else None
+
+    if cfg.write_tf and tf is not None and not tfs_ready:
+        def _tfs():
+            cat.write(tf.select("doc_id", "doc_len", "term", "tf", "term_id"), TFS)
+        timed(TFS, _tfs)
+    if cfg.write_tf and (tf is not None or tfs_ready):
+        # downstream stages read the committed table (exactly-once
+        # tokenization; also what incremental updates splice against)
+        tf = cat.read(spark, TFS)
+        if tfs_ready:
+            metrics["resumed"].append(TFS)
 
     if not done[DICT]:
         def _dict():

@@ -1,0 +1,77 @@
+"""Dedup-family determinism + recall gates (COVERAGE.md training-pipeline ops).
+
+Uses a crafted mini-corpus with known duplicate structure so the
+assertions are exact (everything downstream is deterministic)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+DOCS = [
+    (0, BASE),
+    (1, BASE),                                   # exact dup of 0
+    (2, BASE.replace("sigma", "sigmoid")),       # near dup (1 token)
+    (3, "one two three four five six seven eight nine ten eleven twelve"),
+    (4, "red orange yellow green blue indigo violet cyan magenta white black grey"),
+    (5, BASE + " extra trailing tokens here"),   # superset near-dup
+]
+
+
+@pytest.fixture(scope="module")
+def mini_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mini"))
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_exact_dedup_finds_identical(spark, mini_dir):
+    from codegraph_rust_spark.functions.textops import exact_dedup_groups
+
+    groups = exact_dedup_groups(spark, mini_dir).collect()
+    dups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2 and dups[0]["keep_doc_id"] == 0
+
+
+def test_ngram_jaccard_orders_near_dups(spark, mini_dir):
+    from codegraph_rust_spark.functions.textops import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, mini_dir).collect()
+    }
+    assert pairs[(0, 1)] == 1.0           # identical
+    assert 0.5 < pairs[(0, 2)] < 1.0      # one-token change
+    assert (0, 3) not in pairs            # disjoint vocab
+    assert pairs[(0, 5)] > 0.5            # superset
+
+
+def test_minhash_lsh_catches_exact_and_near(spark, mini_dir):
+    from codegraph_rust_spark.functions.dedup_approx import minhash_lsh_pairs
+
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, mini_dir).collect()}
+    assert (0, 1) in cand                 # identical → all bands collide
+    assert (3, 4) not in cand             # disjoint vocab must not collide
+    # near-dups (0,2)/(0,5): banding is probabilistic in general but
+    # deterministic for this fixed corpus+hash — pin current behavior
+    assert (0, 2) in cand or (0, 5) in cand
+
+
+def test_simhash_identical_and_distinct(spark, mini_dir):
+    from codegraph_rust_spark.functions.dedup_approx import simhash64, simhash_near_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(spark, mini_dir).collect()}
+    assert sh[0] == sh[1]                 # identical docs → identical simhash
+    assert sh[0] != sh[3] and sh[0] != sh[4]
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(spark, mini_dir).collect()}
+    assert near.get((0, 1)) == 0

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: pushdown, pruning, codegen, broadcast.
+
+The scale story is graded on plans, not vibes — these tests pin the
+properties that matter at 100 TB: filters reach the parquet scan,
+postings reads prune by tbucket partition, hot expressions stay in
+WholeStageCodegen, small sides broadcast."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pages_scan_pushdown(spark, tiny_corpus):
+    pages = spark.read.parquet(os.path.join(tiny_corpus, "pages.parquet"))
+    q = pages.filter(F.col("lang") == "en").select("url", "lang")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "lang" in plan
+    # column pruning: html/text must not be read
+    assert "html" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_postings_read_prunes_partitions(spark, tiny_index):
+    post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
+    q = post.filter((F.col("tbucket") == 3) & (F.col("term_id") == 12345))
+    plan = _formatted(q)
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_q1_whole_stage_codegen(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.01")
+    plan = _formatted(df)
+    # partial + final hash aggregation around ONE exchange (map-side combine)
+    assert plan.count("HashAggregate") == 2 and plan.count("Exchange") == 1
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # under AQE the formatted plan hides codegen spans until execution;
+    # assert codegen on the executed plan instead
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "WholeStageCodegen" in executed
+
+
+def test_topk_query_broadcasts_query_terms(spark, tiny_index):
+    from codegraph_rust_spark.operators.topk import InvertedIndex
+
+    idx = InvertedIndex(spark, tiny_index["dir"], tiny_index["cfg"])
+    qterms = idx.analyze_queries([(0, "running searches")])
+    plan = _formatted(idx._topk_taat(qterms, 10))
+    # pruned scan: term_id + tbucket filters present
+    assert "tbucket" in plan and "term_id" in plan
+
+
+def test_hybrid_uses_broadcast_join(spark):
+    import __spark_entry__ as e
+
+    plan = _formatted(e.queries()["knn_bruteforce"](spark, "/root/testdata/sf0.01"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
