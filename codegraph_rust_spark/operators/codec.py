@@ -153,6 +153,97 @@ def decode_u64(buf: bytes) -> np.ndarray:
     return vals[:n]
 
 
+# ------------------------------------------------- batched run encoding
+#
+# Encoding thousands of tiny posting lists one-by-one pays ~20 numpy
+# dispatches per list; at web-scale Zipf vocabularies almost every term
+# is a tiny tail list, so the SPIMI encode stage must amortize.  These
+# variants encode ALL runs of a concatenated sorted chunk in ONE
+# vectorized pass (runs padded to group width so group boundaries never
+# straddle runs), then slice per-run buffers out of the shared prefix
+# and payload streams.  Output bytes are identical to the per-run
+# encoders (tests/test_codec.py::test_run_encoders_match_single).
+
+def _encode_all_runs(vals_padded, itemsize, starts_padded):
+    """Encode a padded value stream; returns (prefix bytes-array,
+    payload uint8 array, per-value byte offsets extended with total)."""
+    if itemsize == 4:
+        nb = _nbytes_u32(vals_padded)
+        codes = (nb - 1).reshape(-1, 4).astype(np.uint16)
+        prefix = (
+            codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6)
+        ).astype(np.uint8)
+    else:
+        nb = _nbytes_u64(vals_padded)
+        codes = (nb - 1).reshape(-1, 4).astype(np.uint16)
+        prefix = (
+            codes[:, 0] | (codes[:, 1] << 3) | (codes[:, 2] << 6) | (codes[:, 3] << 9)
+        ).astype(np.uint16)
+    offsets = np.zeros(len(vals_padded) + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    planes = vals_padded.view(np.uint8).reshape(-1, itemsize)
+    for i in range(itemsize):
+        mask = nb > i
+        out[offsets[:-1][mask] + i] = planes[mask, i]
+    return prefix, out, offsets
+
+
+def _pad_runs(v, starts, ends):
+    """Scatter per-run values into a stream padded to multiples of 4.
+    Returns (padded array, padded run offsets)."""
+    lens = ends - starts
+    padded = (lens + 3) & ~np.int64(3)
+    poffs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(padded, out=poffs[1:])
+    vals = np.zeros(int(poffs[-1]), dtype=v.dtype)
+    pos = (
+        np.arange(len(v), dtype=np.int64)
+        - np.repeat(starts, lens)
+        + np.repeat(poffs[:-1], lens)
+    )
+    vals[pos] = v
+    return vals, poffs
+
+
+def encode_runs(v, starts, ends, itemsize: int) -> list[bytes]:
+    """Encode each [starts[i], ends[i]) run of `v` as a standalone
+    split-layout Group-VarInt buffer (u32 or u64 by itemsize)."""
+    dtype = np.uint32 if itemsize == 4 else np.uint64
+    v = np.ascontiguousarray(v, dtype=dtype)
+    if len(starts) == 0:
+        return []
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    vals, poffs = _pad_runs(v, starts, ends)
+    prefix, payload, offsets = _encode_all_runs(vals, itemsize, poffs)
+    pb = prefix.tobytes()
+    ob = payload.tobytes()
+    psz = 1 if itemsize == 4 else 2
+    group_offs = poffs // 4
+    run_bytes = offsets[poffs]
+    lens = ends - starts
+    return [
+        struct.pack("<I", int(lens[r]))
+        + pb[int(group_offs[r]) * psz : int(group_offs[r + 1]) * psz]
+        + ob[int(run_bytes[r]) : int(run_bytes[r + 1])]
+        for r in range(len(lens))
+    ]
+
+
+def delta_encode_runs(doc_ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-run delta encoding of a concatenated sorted stream in one pass."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if len(ids) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    d = ids.astype(np.uint64)
+    out = np.empty(len(ids), dtype=np.uint64)
+    out[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=out[1:])
+    out[starts] = d[starts]
+    return out
+
+
 # ------------------------------------------------------------- delta coding
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:

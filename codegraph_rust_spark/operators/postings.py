@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..config import IndexConfig
 from ..textkit.extract import extract_batch
 from ..textkit.tokenizer import tokenize
-from .codec import BLOCK_SIZE, encode_u32, encode_u64, delta_encode
+from .codec import delta_encode_runs, encode_runs
 
 TOKENIZED_SCHEMA = T.StructType(
     [
@@ -187,9 +187,12 @@ def build_postings(
     N = max(int(n_docs), 1)
     avgdl = float(avgdl) if avgdl else 1.0
 
-    def encode_runs(term_ids, salts, doc_ids, tfs, dls, dfs, out):
+    def encode_chunk(term_ids, salts, doc_ids, tfs, dls, dfs, out):
         """Slice one concatenated sorted chunk into (term,salt) runs and
-        emit one posting row per run into `out` (list of dicts)."""
+        emit one posting row per run into `out` — ALL numpy work is
+        batched across runs (one encode pass per payload stream, one
+        reduceat for block-max), so tiny tail terms cost no per-run
+        dispatch overhead."""
         n = len(term_ids)
         if n == 0:
             return
@@ -197,32 +200,44 @@ def build_postings(
         change = np.nonzero(
             (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
         )[0]
-        starts = np.concatenate([[0], change + 1])
-        ends = np.concatenate([change + 1, [n]])
+        starts = np.concatenate([[0], change + 1]).astype(np.int64)
+        ends = np.concatenate([change + 1, [n]]).astype(np.int64)
+        lens = ends - starts
         idfs = np.log((N - dfs + 0.5) / (dfs + 0.5) + 1.0)
         scores = idfs * (tfs * (k1 + 1.0)) / (
             tfs + k1 * (1.0 - b + b * dls / avgdl)
         )
-        for s, e in zip(starts, ends):
-            d = doc_ids[s:e]
-            run_n = e - s
-            nblocks = (run_n + block - 1) // block
-            sc = scores[s:e]
-            pad = nblocks * block - run_n
-            sc_pad = np.pad(sc, (0, pad), constant_values=-np.inf)
-            block_max = sc_pad.reshape(nblocks, block).max(axis=1)
-            block_last = d[np.minimum(np.arange(1, nblocks + 1) * block - 1, run_n - 1)]
+
+        doc_bufs = encode_runs(delta_encode_runs(doc_ids, starts), starts, ends, 8)
+        tf_bufs = encode_runs(tfs, starts, ends, 4)
+        dl_bufs = encode_runs(np.minimum(dls, 2**32 - 1), starts, ends, 4)
+
+        # block-max via one reduceat over global block starts
+        nblocks = (lens + block - 1) // block
+        boffs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=boffs[1:])
+        total_blocks = int(boffs[-1])
+        block_run = np.repeat(np.arange(len(lens)), nblocks)
+        within = (np.arange(total_blocks) - boffs[block_run]) * block
+        bstarts = starts[block_run] + within
+        block_max_all = np.maximum.reduceat(scores, bstarts)
+        bend = np.minimum(bstarts + block, ends[block_run])
+        block_last_all = doc_ids[bend - 1]
+
+        for r in range(len(lens)):
+            s = int(starts[r])
+            b0, b1 = int(boffs[r]), int(boffs[r + 1])
             out.append(
                 (
                     int(term_ids[s]),
                     int(salts[s]),
                     int(dfs[s]),
-                    int(run_n),
-                    encode_u64(delta_encode(d)),
-                    encode_u32(tfs[s:e].astype(np.uint32)),
-                    encode_u32(np.minimum(dls[s:e], 2**32 - 1).astype(np.uint32)),
-                    block_last.tolist(),
-                    block_max.tolist(),
+                    int(lens[r]),
+                    doc_bufs[r],
+                    tf_bufs[r],
+                    dl_bufs[r],
+                    block_last_all[b0:b1].tolist(),
+                    block_max_all[b0:b1].tolist(),
                 )
             )
 
@@ -252,7 +267,7 @@ def build_postings(
             last_start = int(bound[-1]) + 1 if len(bound) else 0
             carry = tuple(a[last_start:] for a in (term_ids, salts, doc_ids, tfs, dls, dfs))
             out: list = []
-            encode_runs(
+            encode_chunk(
                 term_ids[:last_start], salts[:last_start], doc_ids[:last_start],
                 tfs[:last_start], dls[:last_start], dfs[:last_start], out,
             )
@@ -260,7 +275,7 @@ def build_postings(
                 yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
         if carry is not None and len(carry[0]):
             out = []
-            encode_runs(*carry, out)
+            encode_chunk(*carry, out)
             yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
 
     parted = tf_salted.repartition("term_id", "salt").sortWithinPartitions(

@@ -36,6 +36,7 @@ from ..config import IndexConfig
 from ..sources.catalog import Catalog
 from ..textkit.tokenizer import tokenize
 from .codec import decode_u32, decode_u64, delta_decode
+from .xxhash import xxh64_str
 
 PARTIAL_SCHEMA = T.StructType(
     [
@@ -91,22 +92,21 @@ class InvertedIndex:
         row = self.cat.read(spark, CORPUS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"] or 1.0)
+        # one parquet listing per handle, not per query
+        self._post_df = self.cat.read(spark, self._postings_name)
 
     # ---------------------------------------------------------- helpers
 
     def analyze_queries(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
-        """(qid, text) → rows (qid, term, term_id) with Spark-compatible
-        xxhash64 term ids (computed by Spark itself for bit-parity with
-        the build)."""
+        """(qid, text) → rows (qid, term, term_id); term ids from the
+        pure-Python xxh64 (bit-parity with Spark's xxhash64 pinned by
+        test) — no Spark job on the query path, mirroring the
+        reference's in-process term-dictionary lookup."""
         rows = []
         for qid, text in queries:
             for term in sorted(set(tokenize(text, self.cfg.analyzer))):
-                rows.append((int(qid), term))
-        if not rows:
-            return pd.DataFrame({"qid": [], "term": [], "term_id": []})
-        qdf = self.spark.createDataFrame(rows, "qid int, term string") \
-            .withColumn("term_id", F.xxhash64("term"))
-        return qdf.toPandas()
+                rows.append((int(qid), term, xxh64_str(term)))
+        return pd.DataFrame(rows, columns=["qid", "term", "term_id"])
 
     def _matched_postings(self, qterms: pd.DataFrame) -> DataFrame:
         """Postings rows for the query terms, with static tbucket/file
@@ -114,7 +114,7 @@ class InvertedIndex:
         project-scoped composite indexes, surql:843-849)."""
         term_ids = [int(t) for t in qterms["term_id"].unique()]
         buckets = sorted({t % self.cfg.term_buckets for t in term_ids})
-        post = self.cat.read(self.spark, self._postings_name)
+        post = self._post_df
         return post.filter(
             F.col("tbucket").isin(buckets) & F.col("term_id").isin(term_ids)
         )

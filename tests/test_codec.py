@@ -77,3 +77,29 @@ def test_posting_empty():
     dp, tp = encode_posting(np.array([], dtype=np.int64), np.array([], dtype=np.uint32))
     d, t = decode_posting(dp, tp)
     assert len(d) == 0 and len(t) == 0
+
+
+def test_run_encoders_match_single():
+    """Batched run encoding must produce byte-identical buffers to the
+    per-run encoders."""
+    from codegraph_rust_spark.operators.codec import delta_encode_runs, encode_runs
+
+    rng = np.random.default_rng(7)
+    runs = []
+    for ln in (1, 2, 3, 4, 5, 127, 128, 129, 1000):
+        ids = np.sort(rng.choice(2**45, size=ln, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 99, size=ln).astype(np.uint32)
+        runs.append((ids, tfs))
+    doc_ids = np.concatenate([r[0] for r in runs])
+    tfs_all = np.concatenate([r[1] for r in runs])
+    lens = np.array([len(r[0]) for r in runs], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+
+    doc_bufs = encode_runs(delta_encode_runs(doc_ids, starts), starts, ends, 8)
+    tf_bufs = encode_runs(tfs_all, starts, ends, 4)
+    for (ids, tfs), db, tb in zip(runs, doc_bufs, tf_bufs):
+        assert db == encode_u64(delta_encode(ids))
+        assert tb == encode_u32(tfs)
+        d2, t2 = decode_posting(db, tb)
+        assert np.array_equal(d2, ids) and np.array_equal(t2, tfs)

@@ -76,3 +76,20 @@ def test_single_term_topk_with_urls(spark, tiny_index):
     rows = df.collect()
     assert 0 < len(rows) <= 5
     assert all(r["url"].startswith("https://") for r in rows)
+
+
+def test_python_xxhash_matches_spark(spark):
+    """Bit-parity of the driver-side term-id hash with Spark xxhash64."""
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.operators.xxhash import xxh64_str
+
+    terms = ["run", "a", "", "café", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+             "v" * 100, "naïve😀", "spark.sql", "поиск", "検索"]
+    rows = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in terms], "t string")
+        .withColumn("h", F.xxhash64("t"))
+        .collect()
+    }
+    assert all(rows[t] == xxh64_str(t) for t in terms)
