@@ -278,7 +278,13 @@ def build_postings(
             encode_chunk(*carry, out)
             yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
 
-    parted = tf_salted.repartition("term_id", "salt").sortWithinPartitions(
+    # explicit partition count: AQE's byte-based coalescing would merge
+    # this shuffle into 1-2 partitions (postings are small in BYTES but
+    # the encode stage is CPU-bound Python — byte-sized coalescing
+    # serializes it).  A user-specified count is AQE-exempt.
+    spark = tf_salted.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = tf_salted.repartition(n_part, "term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
     out = parted.mapInPandas(run, schema=POSTINGS_SCHEMA)
