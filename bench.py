@@ -40,6 +40,7 @@ def get_spark(cpus: int):
         .appName("codegraph_rust_spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

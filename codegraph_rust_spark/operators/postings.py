@@ -288,6 +288,12 @@ def build_postings(
         "term_id", "salt", "doc_id"
     )
     out = parted.mapInPandas(run, schema=POSTINGS_SCHEMA)
-    return out.withColumn(
+    out = out.withColumn(
         "tbucket", F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).cast("int")
     )
+    # compact: co-locate each tbucket in one task so the partitioned
+    # write emits ONE file per bucket directory instead of
+    # n_part × term_buckets shards — query-time bucket pruning then
+    # touches exactly one file per query-term bucket.  This shuffle
+    # moves already-encoded blobs (small), not raw postings.
+    return out.repartition(cfg.term_buckets, "tbucket")

@@ -107,7 +107,7 @@ def generate_pages(
     vocab_size: int = 5000,
     mean_len: int = 120,
     seed: int = SEED,
-    chunk_rows: int = 20_000,
+    chunk_rows: int = 5_000,
 ) -> dict:
     """Write pages.parquet + queries.tsv under out_dir. Returns stats."""
     os.makedirs(out_dir, exist_ok=True)
@@ -138,9 +138,15 @@ def generate_pages(
             ("lang", pa.string()),
         ]
     )
-    writer = pq.ParquetWriter(
-        os.path.join(out_dir, "pages.parquet"), schema, compression="zstd"
-    )
+    # pages.parquet is a DIRECTORY of part files (like any real
+    # distributed-written table): single-file inputs serialize the Spark
+    # scan into one task and flatten the N-vs-4N scaling curve.
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    if os.path.isdir(pages_dir):
+        import shutil as _sh
+        _sh.rmtree(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+    part_idx = 0
     noise_marks = rng.random(n_docs)
     rows_buf: list[tuple] = []
     for i in range(n_docs):
@@ -160,11 +166,19 @@ def generate_pages(
         full_text = sanitize_text(f"{title} {title} {raw}")
         rows_buf.append((url, base_ts + np.timedelta64(i, "s"), html, full_text, lang))
         if len(rows_buf) >= chunk_rows:
-            writer.write_table(_to_table(rows_buf, schema))
+            pq.write_table(
+                _to_table(rows_buf, schema),
+                os.path.join(pages_dir, f"part-{part_idx:05d}.parquet"),
+                compression="zstd",
+            )
+            part_idx += 1
             rows_buf = []
     if rows_buf:
-        writer.write_table(_to_table(rows_buf, schema))
-    writer.close()
+        pq.write_table(
+            _to_table(rows_buf, schema),
+            os.path.join(pages_dir, f"part-{part_idx:05d}.parquet"),
+            compression="zstd",
+        )
 
     _write_queries(out_dir, vocab)
     return {"n_docs": n_docs, "vocab": len(vocab), "tokens": total}

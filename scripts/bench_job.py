@@ -35,6 +35,7 @@ def main() -> None:
         SparkSession.builder.appName(f"scaling-bench-{args.cpus}")
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

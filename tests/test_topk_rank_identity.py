@@ -25,7 +25,7 @@ def oracle_results(spark, tiny_index):
         f"""
         select d.doc_id, p.text
         from '{os.path.join(d, "docs", "*.parquet")}' d
-        join '{os.path.join(corpus, "pages.parquet")}' p using (url)
+        join '{os.path.join(corpus, "pages.parquet", "*.parquet")}' p using (url)
         """
     ).fetchall()
     assert len(rows) == 1000
