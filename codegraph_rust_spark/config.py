@@ -36,10 +36,6 @@ class IndexConfig:
     # doc_id — driver testdata / pre-keyed corpora)
     doc_id_mode: str = "hash"
 
-    # persist the flat tf table (term, term_id, doc_id, tf, doc_len) —
-    # required for incremental updates (re-tokenize only changed docs)
-    write_tf: bool = False
-
     # parallelism: repartition input into this many partitions before
     # tokenize (0 = leave as-is; local runs need it because a single
     # parquet file arrives as one split)

@@ -7,16 +7,21 @@ stage boundaries:
   reference stage                      → our stage
   ------------------------------------   -------------------------------
   clean/incremental gate (:869-976)    → resume check on committed tables
-  parse/extract (:1036-1060)           → tokenize_stage (mapInPandas)
+  parse/extract (:1036-1060)           → tokenized table (mapInPandas)
   deterministic IDs (:1087-1102)       → xxhash64(url) doc ids (JVM)
   persist nodes + SEARCH upkeep (:1500)→ docs/dictionary/postings writes
   metadata + lineage (:2160-2173)      → build_manifest rows
   final metrics (:2192-2216)           → per-stage docs/sec, postings/sec
 
-Every table write is committed atomically (_SUCCESS marker); a rerun
-with resume=True skips committed stages — the reference's
-content-hash CDC gate (indexer.rs:3186-3251) at stage granularity,
-with per-tbucket lineage rows for partition-level accounting.
+The tokenize output (the expensive extract+stem pass) is materialized
+as a parquet table rather than a JVM cache: columnar on disk beats a
+heap full of per-row map objects (measured: the cached variant GC-
+thrashed at 32 local threads), it is the natural resume checkpoint,
+and it is the doc-granular ledger incremental updates splice
+(streaming/incremental.py).  Every table write is committed atomically
+(_SUCCESS marker); a rerun with resume=True skips committed stages —
+the reference's content-hash CDC gate (indexer.rs:3186-3251) at stage
+granularity, with per-tbucket lineage rows for partition accounting.
 """
 
 from __future__ import annotations
@@ -37,12 +42,84 @@ from ..operators.postings import (
 )
 from ..sources.catalog import Catalog
 
+TOKENIZED = "tokenized"
 DOCS = "docs"
 CORPUS = "corpus_stats"
 DICT = "dictionary"
 POSTINGS = "postings"
 MANIFEST = "build_manifest"
-TFS = "tfs"
+
+
+def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> None:
+    """Per-tbucket manifest rows (north rule: per-partition lineage +
+    metrics), mirroring file_metadata (surql:856-870)."""
+    post = cat.read(spark, POSTINGS)
+    lineage = (
+        post.groupBy("tbucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n").alias("postings"),
+            F.sum(
+                F.length("doc_payload") + F.length("tf_payload") + F.length("dl_payload")
+            ).alias("bytes"),
+        )
+        .withColumn("stage", F.lit(POSTINGS))
+        .withColumn("input_fingerprint", F.lit(int(fingerprint)).cast("long"))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    cat.write(lineage, MANIFEST)
+
+
+def derived_stages(
+    spark: SparkSession, cat: Catalog, cfg: IndexConfig, metrics: dict,
+    done: dict | None = None,
+) -> dict:
+    """docs/corpus/dictionary/postings from a committed tokenized table.
+    Shared by the bulk build and incremental updates."""
+    done = done or {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        metrics.setdefault("stages", {})[name] = {"wall_s": round(time.time() - t, 3)}
+
+    tokenized = cat.read(spark, TOKENIZED)
+
+    if not done.get(DOCS):
+        timed(DOCS, lambda: cat.write(
+            tokenized.select("doc_id", "url", "content_hash", "doc_len"), DOCS
+        ))
+    docs = cat.read(spark, DOCS)
+
+    if not done.get(CORPUS):
+        timed(CORPUS, lambda: cat.write(
+            docs.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("n_tokens"),
+                F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
+            ),
+            CORPUS,
+        ))
+    stats_row = cat.read(spark, CORPUS).collect()[0]
+    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
+    metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
+
+    tf = explode_tf(tokenized)
+
+    if not done.get(DICT):
+        timed(DICT, lambda: cat.write(dictionary_stage(tf), DICT))
+    dictionary = cat.read(spark, DICT)
+
+    if not done.get(POSTINGS):
+        def _postings():
+            salted = salt_stage(tf, dictionary, cfg)
+            cat.write(build_postings(salted, n_docs, avgdl, cfg), POSTINGS,
+                      partition_by=["tbucket"])
+        timed(POSTINGS, _postings)
+
+    write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
+    return {"n_docs": n_docs, "avgdl": avgdl}
 
 
 def build_index(
@@ -62,96 +139,22 @@ def build_index(
         pages = pages.repartition(cfg.input_partitions, "url") \
             if "url" in pages.columns else pages.repartition(cfg.input_partitions)
 
-    def stage_done(name: str) -> bool:
-        ok = resume and cat.exists(name)
-        if ok:
+    done = {}
+    for name in (TOKENIZED, DOCS, CORPUS, DICT, POSTINGS):
+        done[name] = resume and cat.exists(name)
+        if done[name]:
             metrics["resumed"].append(name)
-        return ok
 
-    def timed(name, fn):
+    if not done[TOKENIZED]:
         t = time.time()
-        fn()
-        metrics["stages"][name] = {"wall_s": round(time.time() - t, 3)}
-        return metrics["stages"][name]
+        cat.write(tokenize_stage(pages, cfg), TOKENIZED)
+        metrics["stages"][TOKENIZED] = {"wall_s": round(time.time() - t, 3)}
 
-    # ---- stage 1+2: tokenize → docs + tf (persisted once, used twice)
-    done = {name: stage_done(name) for name in (DOCS, CORPUS, DICT, POSTINGS)}
-    # a committed tfs table makes re-tokenization unnecessary on resume
-    # (tokenize = extract+stem = the dominant build cost)
-    tfs_ready = resume and cfg.write_tf and cat.exists(TFS)
-    tokenized = None
-    if not (done[DOCS] and done[DICT] and done[POSTINGS]) and not (
-        tfs_ready and done[DOCS]
-    ):
-        tokenized = tokenize_stage(pages, cfg).persist()
+    derived_stages(spark, cat, cfg, metrics, done)
 
-    if not done[DOCS]:
-        def _docs():
-            cat.write(tokenized.select("doc_id", "url", "content_hash", "doc_len"), DOCS)
-        timed(DOCS, _docs)
-
-    docs = cat.read(spark, DOCS)
-
-    if not done[CORPUS]:
-        def _corpus():
-            stats = docs.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-                F.sum("doc_len").alias("n_tokens"),
-                F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
-            )
-            cat.write(stats, CORPUS)
-        timed(CORPUS, _corpus)
-
-    stats_row = cat.read(spark, CORPUS).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
-    metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
-
-    tf = explode_tf(tokenized) if tokenized is not None else None
-
-    if cfg.write_tf and tf is not None and not tfs_ready:
-        def _tfs():
-            cat.write(tf.select("doc_id", "doc_len", "term", "tf", "term_id"), TFS)
-        timed(TFS, _tfs)
-    if cfg.write_tf and (tf is not None or tfs_ready):
-        # downstream stages read the committed table (exactly-once
-        # tokenization; also what incremental updates splice against)
-        tf = cat.read(spark, TFS)
-        if tfs_ready:
-            metrics["resumed"].append(TFS)
-
-    if not done[DICT]:
-        def _dict():
-            cat.write(dictionary_stage(tf), DICT)
-        timed(DICT, _dict)
-
-    dictionary = cat.read(spark, DICT)
-
-    if not done[POSTINGS]:
-        def _postings():
-            salted = salt_stage(tf, dictionary, cfg)
-            post = build_postings(salted, n_docs, avgdl, cfg)
-            cat.write(post, POSTINGS, partition_by=["tbucket"])
-        timed(POSTINGS, _postings)
-
-    if tokenized is not None:
-        tokenized.unpersist()
-
-    # ---- lineage: per-tbucket manifest rows (north rule: per-partition
-    # lineage + metrics), mirroring file_metadata (surql:856-870)
     post = cat.read(spark, POSTINGS)
-    lineage = post.groupBy("tbucket").agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum("n").alias("postings"),
-        F.sum(
-            F.length("doc_payload") + F.length("tf_payload") + F.length("dl_payload")
-        ).alias("bytes"),
-    ).withColumn("stage", F.lit(POSTINGS)) \
-     .withColumn("input_fingerprint", F.lit(int(stats_row["input_fingerprint"] or 0)).cast("long")) \
-     .withColumn("committed_at", F.current_timestamp())
-    cat.write(lineage, MANIFEST)
-
     total_postings = post.agg(F.sum("n")).collect()[0][0] or 0
+    n_docs = metrics["n_docs"]
     wall = time.time() - t0
     metrics.update(
         {
@@ -159,7 +162,7 @@ def build_index(
             "total_postings": int(total_postings),
             "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
             "postings_per_sec": round(int(total_postings) / wall, 1) if wall > 0 else None,
-            "bytes": {t: Catalog(index_dir).bytes(t) for t in (DOCS, DICT, POSTINGS)},
+            "bytes": {t: cat.bytes(t) for t in (TOKENIZED, DOCS, DICT, POSTINGS)},
         }
     )
     with open(os.path.join(index_dir, "metrics.json"), "w") as f:

@@ -11,8 +11,7 @@ from codegraph_rust_spark.plans.build import build_index
 from codegraph_rust_spark.operators.topk import InvertedIndex
 from codegraph_rust_spark.streaming.incremental import detect_changes, incremental_update
 
-CFG = IndexConfig(input_partitions=4, salt_df_threshold=200, max_salts=4,
-                  write_tf=True)
+CFG = IndexConfig(input_partitions=4, salt_df_threshold=200, max_salts=4)
 
 
 @pytest.fixture(scope="module")
