@@ -114,8 +114,7 @@ def derived_stages(
     if not done.get(POSTINGS):
         def _postings():
             salted = salt_stage(tf, dictionary, cfg)
-            cat.write(build_postings(salted, n_docs, avgdl, cfg), POSTINGS,
-                      partition_by=["tbucket"])
+            cat.write(build_postings(salted, n_docs, avgdl, cfg), POSTINGS)
         timed(POSTINGS, _postings)
 
     write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))

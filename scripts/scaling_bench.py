@@ -3,12 +3,12 @@
 The north rule requires throughput scaling efficiency ≥ 0.8 from N to
 4N executors.  No real cluster exists in this sandbox, so (per
 BASELINE.md) the same build+query job runs via ``spark-submit
---py-files`` at ``local[8]`` (N) and ``local[32]`` (4N) on the same
-input; this script reports throughput at both, the efficiency
+--py-files`` at ``local[4]`` (N) and ``local[16]`` (4N) by default on the same
+input (a true 4x compute span on this SMT VM — see BASELINE.md); this script reports throughput at both, the efficiency
 (T_N / T_4N) / 4, and the top-k output hashes (parallelism
 invariance), and rewrites BENCH.md.
 
-Usage: python scripts/scaling_bench.py [--docs 50000] [--n 8] [--xn 32]
+Usage: python scripts/scaling_bench.py [--docs 50000] [--n 4] [--xn 16]
 """
 
 from __future__ import annotations
@@ -67,8 +67,8 @@ def run_level(cpus: int, corpus: str, pkg_zip: str, salt_threshold: int) -> dict
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--xn", type=int, default=16)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)

@@ -29,8 +29,11 @@ def test_postings_read_prunes_partitions(spark, tiny_index):
     post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
     q = post.filter((F.col("tbucket") == 3) & (F.col("term_id") == 12345))
     plan = _formatted(q)
-    assert "PartitionFilters" in plan
-    assert "tbucket" in plan.split("PartitionFilters")[1][:200]
+    # flat layout: bucket pruning rides parquet min/max stats, so the
+    # tbucket predicate must reach the scan as a pushed filter
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "tbucket" in pushed and "term_id" in pushed
 
 
 def test_q1_whole_stage_codegen(spark):
