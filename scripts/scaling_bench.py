@@ -69,6 +69,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--xn", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="interleaved repetitions per level; min wall is "
+                         "reported (the VM shares CPUs with bursty "
+                         "neighbors — min filters the noise)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -80,8 +84,14 @@ def main() -> None:
 
     pkg_zip = make_pkg_zip()
     salt_threshold = max(2000, args.docs // 10)
-    lo = run_level(args.n, corpus, pkg_zip, salt_threshold)
-    hi = run_level(args.xn, corpus, pkg_zip, salt_threshold)
+    lo_runs, hi_runs = [], []
+    for _ in range(args.repeats):
+        lo_runs.append(run_level(args.n, corpus, pkg_zip, salt_threshold))
+        hi_runs.append(run_level(args.xn, corpus, pkg_zip, salt_threshold))
+        print(f"run: N={lo_runs[-1]['build_s']}s 4N={hi_runs[-1]['build_s']}s",
+              file=sys.stderr)
+    lo = min(lo_runs, key=lambda r: r["build_s"])
+    hi = min(hi_runs, key=lambda r: r["build_s"])
 
     factor = args.xn / args.n
     eff = (lo["build_s"] / hi["build_s"]) / factor
@@ -92,6 +102,8 @@ def main() -> None:
         "4N": hi,
         "scaling_efficiency": round(eff, 3),
         "parallelism_invariant": lo["topk_hash"] == hi["topk_hash"],
+        "all_runs": {"N": [r["build_s"] for r in lo_runs],
+                     "4N": [r["build_s"] for r in hi_runs]},
     }
     print(json.dumps(result, indent=2))
 
@@ -105,6 +117,8 @@ def _render_md(args, lo, hi, eff) -> str:
 Same build+query job via `spark-submit --py-files` on the same input
 ({lo['n_docs']} synthetic Common-Crawl-style pages, seed 42) at two
 parallelism levels (sandbox substitute for N vs 4N executors).
+Interleaved repetitions; min wall per level reported (the sandbox VM
+shares CPUs with bursty neighbors — idle steal ~2-4%).
 
 | metric | local[{args.n}] (N) | local[{args.xn}] (4N) |
 |---|---|---|
