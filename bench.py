@@ -41,6 +41,10 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # fresh python workers per task: the pandas-heavy tokenize
+        # stage leaves reused workers with fragmented heaps that
+        # slow every later Arrow stage (measured 2-3x on postings)
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
