@@ -5,13 +5,16 @@ SurrealDB trigger SEARCH-index maintenance (four B-tree sub-stores —
 doc_ids / doc_lengths / postings / terms, reference:
 schema/codegraph.surql:933).  Here the index is explicit DataFrames:
 
-* ``tokenize_stage``  — pages → one row per doc with a term-frequency
-  map (map-side combine: the shuffle carries (term, doc, tf), never
-  raw tokens).  Arrow-batched ``mapInPandas``; the analyzer chain is
-  textkit (no per-row Python at the Spark API).
-* ``explode_tf``      — JVM-side ``explode`` of the tf map +
-  ``xxhash64`` term ids (no Python in this hot path at all).
-* ``dictionary_stage``— term → (term_id, df, cf): the terms sub-store.
+* ``tokenize_stage``  — pages → one row per doc with parallel
+  (term_ids, tfs) int arrays: terms are hashed to 64-bit ids inside
+  the tokenize batch (python xxh64, bit-identical to Spark xxhash64),
+  so NO string payloads ever cross Arrow or a shuffle — map-side
+  combine carries (term_id, doc, tf), and workers hold no python
+  string object graphs (a map<string,int> variant measurably
+  fragmented reused workers and slowed later Arrow stages 2-3x).
+* ``explode_tf``      — JVM-side ``arrays_zip`` + ``explode``.
+* ``dictionary_stage``— term_id → (df, cf): the terms sub-store (the
+  analyzer+hash chain IS the term→id mapping at build and query).
 * ``salt_stage``      — explicit head-term skew split: terms with
   df > threshold get salt = doc_id mod n_salts, so no single
   applyInPandas group exceeds ~threshold entries (north-rule skew
@@ -35,6 +38,7 @@ from ..config import IndexConfig
 from ..textkit.extract import extract_batch
 from ..textkit.tokenizer import tokenize
 from .codec import delta_encode_runs, encode_runs
+from .xxhash import xxh64_str
 
 TOKENIZED_SCHEMA = T.StructType(
     [
@@ -42,7 +46,8 @@ TOKENIZED_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("content_hash", T.LongType()),
         T.StructField("doc_len", T.LongType()),
-        T.StructField("tfs", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("term_ids", T.ArrayType(T.LongType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
     ]
 )
 
@@ -88,28 +93,51 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
     def run(batches):
+        # worker-local term→id memo (Zipf: the hot vocabulary is tiny);
+        # xxh64_str is bit-identical to Spark's xxhash64 (pinned by
+        # test), so ids assigned here == ids the query path derives.
+        tid_cache: dict[str, int] = {}
+
+        def term_id(t: str) -> int:
+            v = tid_cache.get(t)
+            if v is None:
+                v = xxh64_str(t)
+                if len(tid_cache) < 2_000_000:
+                    tid_cache[t] = v
+            return v
+
         for pdf in batches:
             if use_html:
                 texts = extract_batch(pdf[src_col].tolist())
             else:
                 texts = pdf[src_col].tolist()
-            doc_lens = np.empty(len(texts), dtype=np.int64)
-            tf_maps: list[dict] = []
+            n_rows = len(texts)
+            doc_lens = np.empty(n_rows, dtype=np.int64)
+            id_arrays: list[np.ndarray] = []
+            tf_arrays: list[np.ndarray] = []
             for i, text in enumerate(texts):
                 toks = tokenize(text, analyzer) if text else []
                 doc_lens[i] = len(toks)
                 if toks:
-                    vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                    tf_maps.append(dict(zip(vals.tolist(), counts.astype(int).tolist())))
+                    vals, counts = np.unique(
+                        np.asarray(toks, dtype=object), return_counts=True
+                    )
+                    ids = np.fromiter(
+                        (term_id(t) for t in vals), dtype=np.int64, count=len(vals)
+                    )
+                    id_arrays.append(ids)
+                    tf_arrays.append(counts.astype(np.int32))
                 else:
-                    tf_maps.append({})
+                    id_arrays.append(np.zeros(0, dtype=np.int64))
+                    tf_arrays.append(np.zeros(0, dtype=np.int32))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "url": pdf["url"].to_numpy(),
                     "content_hash": pdf["content_hash"].to_numpy(),
                     "doc_len": doc_lens,
-                    "tfs": tf_maps,
+                    "term_ids": id_arrays,
+                    "tfs": tf_arrays,
                 }
             )
 
@@ -117,21 +145,33 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def explode_tf(tokenized: DataFrame) -> DataFrame:
-    """(doc_id, doc_len, tfs) → tf rows (doc_id, doc_len, term, tf, term_id).
+    """(doc_id, doc_len, term_ids, tfs) → tf rows
+    (doc_id, doc_len, term_id, tf).
 
-    Pure JVM operators: explode + xxhash64 stay in whole-stage codegen.
-    doc_len rides along so posting build needs no doc-stats join.
+    Pure JVM operators (arrays_zip + explode stay in codegen); the
+    analyzer already hashed terms to ids in the tokenize pass, so no
+    strings flow through any shuffle.  doc_len rides along so posting
+    build needs no doc-stats join.
     """
     return tokenized.select(
         "doc_id",
         "doc_len",
-        F.explode("tfs").alias("term", "tf"),
-    ).withColumn("term_id", F.xxhash64("term"))
+        F.explode(F.arrays_zip("term_ids", "tfs")).alias("z"),
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("z.term_ids").alias("term_id"),
+        F.col("z.tfs").alias("tf"),
+    )
 
 
 def dictionary_stage(tf: DataFrame) -> DataFrame:
-    """term dictionary: (term, term_id, df, cf)."""
-    return tf.groupBy("term", "term_id").agg(
+    """term dictionary: (term_id, df, cf) — the terms sub-store.
+
+    The analyzer chain + xxh64 IS the term→id mapping (applied
+    identically at build and query time), so no reverse string column
+    is needed on the query path; keep the id-keyed statistics only."""
+    return tf.groupBy("term_id").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
 
