@@ -24,6 +24,8 @@ import shutil
 import sys
 import time
 
+os.environ.setdefault("MALLOC_ARENA_MAX", "2")  # see scripts/scaling_bench.py
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -41,10 +43,6 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        # fresh python workers per task: the pandas-heavy tokenize
-        # stage leaves reused workers with fragmented heaps that
-        # slow every later Arrow stage (measured 2-3x on postings)
-        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

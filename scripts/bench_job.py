@@ -36,10 +36,6 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        # fresh python workers per task: the pandas-heavy tokenize
-        # stage leaves reused workers with fragmented heaps that
-        # slow every later Arrow stage (measured 2-3x on postings)
-        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -56,6 +56,10 @@ def run_level(cpus: int, corpus: str, pkg_zip: str, salt_threshold: int) -> dict
     ]
     env = dict(os.environ)
     env["PYTHONPATH"] = pkg_zip
+    # cap glibc malloc arenas: python workers otherwise fragment their
+    # heaps during the string-heavy tokenize stage and every later
+    # Arrow stage pays for it (measured 2-3x on the encode stage)
+    env["MALLOC_ARENA_MAX"] = "2"
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_JOB_RESULT "):
