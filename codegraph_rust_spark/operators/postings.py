@@ -322,8 +322,16 @@ def build_postings(
     # this shuffle into 1-2 partitions (postings are small in BYTES but
     # the encode stage is CPU-bound Python — byte-sized coalescing
     # serializes it).  A user-specified count is AQE-exempt.
+    # Size by DATA, not core count: each partition sorts its tf rows
+    # and streams them through one Arrow pass, so cap partitions at
+    # ~2.5M rows (~150MB) to keep sorts in memory — at low core counts
+    # the extra tasks just queue, at high counts they parallelize.
     spark = tf_salted.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    est_rows = max(1, int(n_docs * max(avgdl, 1.0) * 0.85))
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        (est_rows + 2_500_000 - 1) // 2_500_000,
+    )
     parted = tf_salted.repartition(n_part, "term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
