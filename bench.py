@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "50000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 
 
 def get_spark(cpus: int):
@@ -43,6 +43,10 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # fresh python workers per task: string-heavy stages fragment
+        # reused worker heaps (later Arrow stages 2-3x slower; arena
+        # caps help but do not hold at larger corpora)
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -283,9 +283,19 @@ def build_postings(
 
     cols = ("term_id", "salt", "doc_id", "tf", "doc_len", "df")
 
+    import os as _os
+    _debug = _os.environ.get("CGRS_DEBUG_TIMING") == "1"
+
     def run(batches):
+        import sys as _sys
+        import time as _time
+        _t0 = _time.time()
+        _rows = 0
+        _pyt = 0.0
         carry = None  # trailing partial run from the previous batch
         for pdf in batches:
+            _tb = _time.time()
+            _rows += len(pdf)
             arrs = [pdf[c].to_numpy() for c in cols]
             if carry is not None:
                 arrs = [np.concatenate([c0, a]) for c0, a in zip(carry, arrs)]
@@ -311,12 +321,20 @@ def build_postings(
                 term_ids[:last_start], salts[:last_start], doc_ids[:last_start],
                 tfs[:last_start], dls[:last_start], dfs[:last_start], out,
             )
+            _pyt += _time.time() - _tb
             if out:
                 yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
         if carry is not None and len(carry[0]):
             out = []
             encode_chunk(*carry, out)
             yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
+        if _debug:
+            print(
+                f"CGRS_ENCODE rows={_rows} py_s={_pyt:.2f} "
+                f"wall_s={_time.time() - _t0:.2f}",
+                file=_sys.stderr,
+                flush=True,
+            )
 
     # explicit partition count: AQE's byte-based coalescing would merge
     # this shuffle into 1-2 partitions (postings are small in BYTES but

@@ -36,6 +36,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # fresh python workers per task: string-heavy stages fragment
+        # reused worker heaps (later Arrow stages 2-3x slower; arena
+        # caps help but do not hold at larger corpora)
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
