@@ -2,53 +2,91 @@
 
 Training-data-pipeline operators with no SQL-expressible oracle (they
 depend on Spark's xxhash64); the driver records rows-only checks, and
-tests/test_dedup.py asserts recall against the exact trigram-Jaccard
-pairs (textops.ngram_jaccard_pairs) instead.
+tests/test_dedup.py asserts recall against exact pair sets instead
+(MinHash vs exact trigram-Jaccard pairs; SimHash vs exact Hamming
+pairs, where pigeonhole banding makes recall 1.0 by construction).
 
-Scale design: MinHash signatures are built entirely JVM-side
-(explode → xxhash64(shingle, seed) → groupBy min → band signature);
-the only shuffle joins are on band buckets, which is the LSH trick —
-candidate generation cost is proportional to bucket collisions, not
-to the O(n²) pair space.
+Scale design:
+
+* MinHash signatures are one JVM groupBy: explode shingles → N_HASHES
+  independent ``min(xxhash64(sh, seed_i))`` aggregates in a SINGLE
+  aggregation (map-side partial min combine — the shingle table
+  crosses the shuffle once, NOT once per hash function; an earlier
+  ×N_HASHES ``crossJoin(seeds)`` variant multiplied shuffle volume 16×
+  for identical signatures).
+* The only joins are on band buckets — candidate generation cost is
+  proportional to bucket collisions, not the O(n²) pair space.
+* SimHash is computed entirely JVM-side (xxhash64 bit arithmetic in
+  whole-stage codegen, one shuffle with partial aggregation); no
+  Python in the path at all.
+* SimHash near-pair search uses pigeonhole banding: d+1 bands over the
+  64-bit fingerprint guarantee that any pair within Hamming distance d
+  collides on at least one full band (recall = 1.0), then candidates
+  are verified by exact ``bit_count(a XOR b)``.  This is the
+  block-permutation scheme of Manku/Jain/Sarma (WWW'07, public paper);
+  note their production choice for 64-bit web fingerprints is d = 3
+  (4 bands × 16 bits → fine buckets) — at d = 8 the bands are 7 bits
+  wide, so per-bucket candidate sets grow ~n/128 and the verify join
+  dominates at extreme corpus sizes.  d is therefore a parameter.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import t
-from .textops import _trigrams
+from .textops import _TOKS, _trigrams
 
-N_HASHES = 16
-BAND_SIZE = 4  # 4 bands × 4 rows
+N_HASHES = 64
+BAND_SIZE = 4  # 16 bands × 4 rows
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → h0..h{N_HASHES-1} minhash signature over word trigrams,
+    built in ONE groupBy (each hash = min of xxhash64(shingle, seed))."""
+    sh = _trigrams(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4×4) candidate pairs over word trigrams.
+    """MinHash(64) + LSH(16×4) candidate pairs over word trigrams.
 
-    shingle → minhash (per-seed min of xxhash64(sh, seed)) → band
-    signature → bucket join (the classic banding scheme); returns
-    distinct candidate pairs (doc_a < doc_b).
+    shingle → minhash signature (single groupBy, see module doc) →
+    band signature → bucket self-join; returns distinct candidate
+    pairs (doc_a < doc_b).  More hashes / narrower bands than the
+    textbook 16×4 raise precision; band count raises recall — both are
+    module constants.
     """
-    sh = _trigrams(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", F.xxhash64("sh", "seed").alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash")))
-            ).alias("band_sig")
-        )
-    )
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -62,70 +100,105 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (token-hash bit voting weighted by
-    tf), computed in Arrow batches with numpy bit matrices."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def run(batches):
-        for pdf in batches:
-            ids, out = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [x for x in (text or "").lower().split(" ") if x]
-                if not toks:
-                    ids.append(doc_id)
-                    out.append(0)
-                    continue
-                vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                # FNV-1a 64-bit per token (pure-python but per *unique* token)
-                hs = np.array(
-                    [_fnv1a64(v) for v in vals], dtype=np.uint64
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sh = 0
-                for j in np.nonzero(votes > 0)[0]:
-                    sh |= 1 << int(j)
-                ids.append(doc_id)
-                out.append(np.uint64(sh).astype(np.int64))
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
-
-    return docs.mapInPandas(run, schema=SIMHASH_SCHEMA)
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs within Hamming distance ≤ 8 of each other's SimHash,
-    bucketed by the top 16 bits to avoid the O(n²) cross join."""
-    sh = simhash64(spark, sf_dir).withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 48)
+    """64-bit SimHash per document — tf-weighted bit voting over
+    xxhash64(token), entirely in JVM codegen (no Python UDF):
+    vote_j = Σ_token_instances (2·bit_j − 1); bit j of the fingerprint
+    is set when vote_j > 0.  Summing per token INSTANCE is identical to
+    tf-weighting unique tokens.  One shuffle (groupBy doc_id) with
+    map-side partial aggregation."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
+    h = F.xxhash64("term")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pair = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # assemble the int64 fingerprint; bit 63 enters as -2^63 (two's
+    # complement), so the sum is exactly representable — no overflow
+    # under ANSI mode.
+    bit_terms = [
+        F.when(
+            F.col(f"v{j}") > 0,
+            F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(64)
+    ]
+    sim = votes.select("doc_id", reduce(add, bit_terms).alias("simhash"))
+    # empty docs have no token rows: keep them with fingerprint 0
+    return (
+        d.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
+def _band_specs(d: int) -> list[tuple[int, int]]:
+    """(offset, width) for d+1 bands covering all 64 bits as evenly as
+    possible — the pigeonhole guarantee: hamming ≤ d ⇒ ≥1 band equal."""
+    n_bands = d + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offs, acc = [], 0
+    for w in widths:
+        offs.append((acc, w))
+        acc += w
+    return offs
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, d: int = 8
+) -> DataFrame:
+    """All pairs within Hamming distance ≤ d of each other's SimHash.
+
+    Pigeonhole banding (d+1 bands) generates candidates with recall
+    1.0 by construction; exact ``bit_count(xor)`` verifies.  See the
+    module docstring for the d-vs-bucket-width scale trade-off
+    (Manku et al. use d=3 for 64-bit fingerprints at web scale)."""
+    sh = simhash64(spark, sf_dir)
+    specs = _band_specs(d)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("band_val"),
+                    )
+                    for i, (off, w) in enumerate(specs)
+                ]
+            )
+        ).alias("bs"),
     ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-            "hamming"
-        ),
+        "doc_id",
+        "simhash",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_val").alias("band_val"),
     )
-    return pair.filter(F.col("hamming") <= 8)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= d)
+        .distinct()
+    )
+    return pairs

@@ -156,26 +156,34 @@ WHERE EXISTS (SELECT 1 FROM e r WHERE r.from_id = e.to_id AND r.to_id = e.from_i
 """
 
 
+BFS_MAX_DEPTH = 5  # the reference's depth cap (schema/codegraph.surql:254-276)
+
+
 def transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-depth BFS (depth ≤ 3) with min-depth dedup, analog of
-    fn::get_transitive_dependencies' iterated self-join + math::min
-    GROUP BY (schema/codegraph.surql:254-276). Start node = 1."""
+    """Bounded-depth BFS (depth ≤ 5, matching the reference cap) with
+    min-depth dedup, analog of fn::get_transitive_dependencies' iterated
+    self-join + math::min GROUP BY (schema/codegraph.surql:254-276).
+    Start node = 1.  Frontiers are level DataFrames — each level is one
+    shuffle join; min-depth dedup happens once at the end (cheaper than
+    per-level distinct at this depth)."""
     e = _part_edges(spark, sf_dir).persist()
-    lvl1 = e.filter(F.col("from_id") == 1).select(
+    levels = []
+    frontier = e.filter(F.col("from_id") == 1).select(
         F.col("to_id").alias("node_id"), F.lit(1).alias("depth")
     )
-    lvl2 = (
-        e.join(lvl1.select(F.col("node_id").alias("from_id")), "from_id")
-        .select(F.col("to_id").alias("node_id"), F.lit(2).alias("depth"))
-    )
-    lvl3 = (
-        e.join(lvl2.select(F.col("node_id").alias("from_id")), "from_id")
-        .select(F.col("to_id").alias("node_id"), F.lit(3).alias("depth"))
-    )
+    levels.append(frontier)
+    for depth in range(2, BFS_MAX_DEPTH + 1):
+        frontier = (
+            e.join(frontier.select(F.col("node_id").alias("from_id")).distinct(),
+                   "from_id")
+            .select(F.col("to_id").alias("node_id"), F.lit(depth).alias("depth"))
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
     return (
-        lvl1.unionByName(lvl2)
-        .unionByName(lvl3)
-        .filter(F.col("node_id") != 1)
+        out.filter(F.col("node_id") != 1)
         .groupBy("node_id")
         .agg(F.min("depth").alias("depth"))
     )
@@ -184,10 +192,17 @@ def transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRANSITIVE_DEPS_SQL = f"""
 WITH e AS ({_PART_EDGES_SQL}),
      l1 AS (SELECT to_id AS node_id, 1 AS depth FROM e WHERE from_id = 1),
-     l2 AS (SELECT e.to_id AS node_id, 2 AS depth FROM e JOIN l1 ON e.from_id = l1.node_id),
-     l3 AS (SELECT e.to_id AS node_id, 3 AS depth FROM e JOIN l2 ON e.from_id = l2.node_id)
+     f1 AS (SELECT DISTINCT node_id FROM l1),
+     l2 AS (SELECT e.to_id AS node_id, 2 AS depth FROM e JOIN f1 ON e.from_id = f1.node_id),
+     f2 AS (SELECT DISTINCT node_id FROM l2),
+     l3 AS (SELECT e.to_id AS node_id, 3 AS depth FROM e JOIN f2 ON e.from_id = f2.node_id),
+     f3 AS (SELECT DISTINCT node_id FROM l3),
+     l4 AS (SELECT e.to_id AS node_id, 4 AS depth FROM e JOIN f3 ON e.from_id = f3.node_id),
+     f4 AS (SELECT DISTINCT node_id FROM l4),
+     l5 AS (SELECT e.to_id AS node_id, 5 AS depth FROM e JOIN f4 ON e.from_id = f4.node_id)
 SELECT node_id, min(depth) AS depth
-FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+      UNION ALL SELECT * FROM l4 UNION ALL SELECT * FROM l5)
 WHERE node_id != 1
 GROUP BY node_id
 """

@@ -55,6 +55,7 @@ REGISTRY: dict = {
     "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),
     "embedding_mean_pool": (tx.embedding_mean_pool, tx.EMBEDDING_MEAN_POOL_SQL),
     "hybrid_score_topk": (tx.hybrid_score_topk, tx.HYBRID_SCORE_TOPK_SQL),
+    "hybrid_score_topk_73": (tx.hybrid_score_topk_73, tx.HYBRID_SCORE_TOPK_73_SQL),
 }
 
 

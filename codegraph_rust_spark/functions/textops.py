@@ -76,7 +76,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_STATS_SQL = """
-SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl, sum(doc_len) AS n_tokens
+SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl,
+       cast(sum(doc_len) AS bigint) AS n_tokens
 FROM (SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS doc_len
       FROM documents)
 """
@@ -337,11 +338,30 @@ def _trigrams(spark, sf_dir):
     ).filter(F.size(F.split(F.col("sh"), " ")) == 3).distinct()
 
 
+# Shingles appearing in more than this many docs are dropped before the
+# self-join: a single hot trigram in 10^6 docs would otherwise emit 10^12
+# join rows (quadratic in its df).  Hot shingles are boilerplate — they
+# carry no near-dup signal — so the Jaccard universe is the capped set
+# (sizes are computed post-cap on BOTH sides so the ratio stays coherent).
+SHINGLE_DF_CAP = 1000
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-trigram Jaccard ≥ 0.1 — the
     shingle→intersect→ratio pattern (reference's trigram Jaccard
-    similarity for symbols, indexer.rs:2883-2964, applied doc-level)."""
-    sh = _trigrams(spark, sf_dir).persist()
+    similarity for symbols, indexer.rs:2883-2964, applied doc-level).
+    Shingles with df > SHINGLE_DF_CAP are excluded (skew guard: the
+    self-join is quadratic per hot shingle)."""
+    raw = _trigrams(spark, sf_dir)
+    hot = (
+        raw.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    # no broadcast hint: the hot set is usually tiny (AQE will broadcast
+    # it), but at 100 TB it can exceed driver memory — let AQE decide.
+    sh = raw.join(hot, "sh", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -375,10 +395,14 @@ WITH toksa AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
   FROM documents
 ),
-sh AS (
+sh_raw AS (
   SELECT DISTINCT doc_id, a[g] || ' ' || a[g+1] || ' ' || a[g+2] AS sh
   FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 2, 0))) AS g
         FROM toksa)
+),
+sh AS (
+  SELECT doc_id, sh FROM sh_raw
+  WHERE sh NOT IN (SELECT sh FROM sh_raw GROUP BY sh HAVING count(*) > 1000)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
@@ -546,10 +570,17 @@ GROUP BY label, g
 """
 
 
-def hybrid_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid 0.9·vector + 0.1·text combined top-k — the reference's
-    hybrid fusion (schema/codegraph.surql:452-478, weights :471) with
-    documents.doc_id ≡ embeddings.vec_id."""
+def hybrid_score_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    w_vector: float = 0.9,
+    w_text: float = 0.1,
+) -> DataFrame:
+    """Hybrid w_vector·vector + w_text·text combined top-k — the
+    reference's hybrid fusion (schema/codegraph.surql:452-478; weights
+    0.9/0.1 at :471 and 0.7/0.3 in the experimental schema
+    codegraph_graph_experimental.surql:879-885 — configurable here)
+    with documents.doc_id ≡ embeddings.vec_id."""
     from pyspark.sql import Window
 
     text = bm25_topk(spark, sf_dir).select(
@@ -563,8 +594,8 @@ def hybrid_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.round(
-                0.9 * F.coalesce("vector_score", F.lit(0.0))
-                + 0.1 * F.coalesce("text_score", F.lit(0.0)),
+                w_vector * F.coalesce("vector_score", F.lit(0.0))
+                + w_text * F.coalesce("text_score", F.lit(0.0)),
                 6,
             ).alias("combined_score"),
         )
@@ -577,7 +608,8 @@ def hybrid_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HYBRID_SCORE_TOPK_SQL = f"""
+def _hybrid_sql(w_vector: float, w_text: float) -> str:
+    return f"""
 WITH text_hits AS (
   SELECT doc_id, score AS text_score FROM ({BM25_TOPK_SQL})
 ),
@@ -586,11 +618,23 @@ vec_hits AS (
 ),
 combined AS (
   SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
-         round(0.9 * coalesce(v.vector_score, 0.0)
-               + 0.1 * coalesce(t.text_score, 0.0), 6) AS combined_score
+         round({w_vector!r} * coalesce(v.vector_score, 0.0)
+               + {w_text!r} * coalesce(t.text_score, 0.0), 6) AS combined_score
   FROM vec_hits v FULL OUTER JOIN text_hits t ON v.doc_id = t.doc_id
 )
 SELECT doc_id, combined_score,
        cast(row_number() OVER (ORDER BY combined_score DESC, doc_id) AS int) AS rank
 FROM combined ORDER BY combined_score DESC, doc_id LIMIT 10
 """
+
+
+HYBRID_SCORE_TOPK_SQL = _hybrid_sql(0.9, 0.1)
+
+
+def hybrid_score_topk_73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimental-schema weighting (0.7 vector / 0.3 text,
+    reference: schema/codegraph_graph_experimental.surql:879-885)."""
+    return hybrid_score_topk(spark, sf_dir, w_vector=0.7, w_text=0.3)
+
+
+HYBRID_SCORE_TOPK_73_SQL = _hybrid_sql(0.7, 0.3)

@@ -78,7 +78,16 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     analyzer = cfg.analyzer
 
     if cfg.doc_id_mode == "hash":
-        pages = pages.withColumn("doc_id", F.xxhash64("url"))
+        # doc_id = xxhash64(url) requires url uniqueness (a duplicate url
+        # would double its postings and inflate df/n_docs; MaxScore and
+        # TAAT would then disagree on the duplicate's score).  Dedup here
+        # is a map-side-combinable shuffle on url — the same cost class
+        # as the build shuffle itself.  Full-width hash collisions
+        # (~n²/2^65) are accepted and documented, as in the reference's
+        # hash-keyed node identity (indexer.rs:1087-1102).
+        pages = pages.dropDuplicates(["url"]).withColumn(
+            "doc_id", F.xxhash64("url")
+        )
     elif "doc_id" not in cols:
         raise ValueError("doc_id_mode='provided' but no doc_id column")
     if "url" not in cols:

@@ -36,6 +36,44 @@ from ..plans.build import DOCS, TOKENIZED, derived_stages
 from ..sources.catalog import Catalog
 
 
+def _swap_ledger(cat: Catalog) -> None:
+    """Crash-safe ledger swap: old → _old, _next → live, delete _old.
+    A crash at any point leaves either the old or the new committed
+    ledger findable; ``recover_ledger`` completes an interrupted swap."""
+    import shutil
+
+    old_aside = cat.path(TOKENIZED + "_old")
+    shutil.rmtree(old_aside, ignore_errors=True)
+    if os.path.exists(cat.path(TOKENIZED)):
+        os.rename(cat.path(TOKENIZED), old_aside)
+    os.rename(cat.path(TOKENIZED + "_next"), cat.path(TOKENIZED))
+    shutil.rmtree(old_aside, ignore_errors=True)
+
+
+def recover_ledger(cat: Catalog) -> bool:
+    """Complete an interrupted ledger swap (idempotent).  Returns True
+    if recovery ran.  Rules: a committed live ledger wins; else a
+    committed _next is promoted; a leftover _old is only a fallback
+    when neither live nor _next committed (crash mid-write)."""
+    import shutil
+
+    live, nxt, old = (cat.path(TOKENIZED + s) for s in ("", "_next", "_old"))
+    if cat.exists(TOKENIZED):
+        for p in (nxt, old):
+            shutil.rmtree(p, ignore_errors=True)
+        return False
+    if cat.exists(TOKENIZED + "_next"):
+        shutil.rmtree(live, ignore_errors=True)
+        os.rename(nxt, live)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    if os.path.exists(old):
+        shutil.rmtree(live, ignore_errors=True)
+        os.rename(old, live)
+        return True
+    return False
+
+
 def detect_changes(spark: SparkSession, pages_new: DataFrame, index_dir: str,
                    cfg: IndexConfig) -> DataFrame:
     """Classify each url: added | modified | deleted | unchanged."""
@@ -65,6 +103,7 @@ def incremental_update(
     """Bring the index at index_dir up to date with pages_new."""
     cfg = cfg or IndexConfig()
     cat = Catalog(index_dir)
+    recover_ledger(cat)  # complete any interrupted swap first
     if not cat.exists(TOKENIZED):
         raise ValueError(f"index at {index_dir} has no '{TOKENIZED}' ledger")
     t0 = time.time()
@@ -92,8 +131,7 @@ def incremental_update(
     new_tok = tokenize_stage(pages_re, cfg).select(*old_tok.columns)
 
     cat.write(keep_tok.unionByName(new_tok), TOKENIZED + "_next")
-    cat.drop(TOKENIZED)
-    os.rename(cat.path(TOKENIZED + "_next"), cat.path(TOKENIZED))
+    _swap_ledger(cat)
 
     # --- rebuild derived tables from the spliced ledger
     out = derived_stages(spark, cat, cfg, metrics)

@@ -66,6 +66,53 @@ def test_minhash_lsh_catches_exact_and_near(spark, mini_dir):
     assert (0, 2) in cand or (0, 5) in cand
 
 
+def test_simhash_near_pairs_recall_is_exact(spark, tmp_path_factory):
+    """Pigeonhole banding must find EVERY pair at hamming ≤ d (recall
+    1.0 by construction) and nothing below the threshold — verified
+    against a brute-force all-pairs hamming computation on a corpus of
+    base texts with small token perturbations (small text edits ⇒ small
+    fingerprint distances, so the ≤ d set is non-trivial)."""
+    import itertools
+    import os
+
+    from codegraph_rust_spark.functions.dedup_approx import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    did = 0
+    for base in range(4):
+        toks = words[base * 12 : base * 12 + 30] or words[:30]
+        base_text = " ".join(toks * 3)
+        for v in range(5):
+            t = list(toks * 3)
+            for j in range(v):  # v token substitutions
+                t[7 * j % len(t)] = f"sub{base}_{v}_{j}"
+            docs.append((did, " ".join(t)))
+            did += 1
+    d = str(tmp_path_factory.mktemp("simrec"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(spark, d).collect()}
+    D = 8
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= D
+    }
+    assert expected, "fixture must produce at least one near pair"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(spark, d, d=D).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_identical_and_distinct(spark, mini_dir):
     from codegraph_rust_spark.functions.dedup_approx import simhash64, simhash_near_pairs
 
