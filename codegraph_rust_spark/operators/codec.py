@@ -153,6 +153,83 @@ def decode_u64(buf: bytes) -> np.ndarray:
     return vals[:n]
 
 
+# ------------------------------------------------ positional block decode
+#
+# The split layout makes random access cheap: per-value byte lengths
+# come from the PREFIX stream alone (tiny — 2 bits/value u32, 3 bits
+# u64), so value byte-offsets are one cumsum without touching the
+# payload.  ``decode_*_at`` then gathers payload bytes ONLY for the
+# requested positions — the probe path of block-max skipping decodes
+# just the blocks (or single entries) it needs, while the enumerate
+# path still uses the fully-vectorized whole-buffer decoders.
+
+def _positions_decode(payload, lens, offsets, pos, out_dtype, width):
+    lsel = lens[pos]
+    osel = offsets[pos]
+    vals = np.zeros(len(pos), dtype=out_dtype)
+    for i in range(width):
+        mask = lsel > i
+        vals[mask] |= payload[osel[mask] + i].astype(out_dtype) << out_dtype(8 * i)
+    return vals
+
+
+def decode_u64_at(buf: bytes, pos: np.ndarray) -> np.ndarray:
+    """Decode the values at (sorted or unsorted) positions `pos`."""
+    (n,) = struct.unpack_from("<I", buf, 0)
+    ngroups = (n + 3) // 4
+    prefix = np.frombuffer(buf, dtype=np.uint16, count=ngroups, offset=4)
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=4 + 2 * ngroups)
+    lens = _LEN4_U64[prefix & 0x0FFF].reshape(-1)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    return _positions_decode(payload, lens, offsets, np.asarray(pos, dtype=np.int64),
+                             np.uint64, 8)
+
+
+def decode_u32_at(buf: bytes, pos: np.ndarray) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    ngroups = (n + 3) // 4
+    prefix = np.frombuffer(buf, dtype=np.uint8, count=ngroups, offset=4)
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=4 + ngroups)
+    lens = _LEN4_U32[prefix].reshape(-1)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    return _positions_decode(payload, lens, offsets, np.asarray(pos, dtype=np.int64),
+                             np.uint32, 4)
+
+
+def delta_decode_blocked(gaps: np.ndarray, block_size: int) -> np.ndarray:
+    """Decode gaps whose delta chain RESTARTS every `block_size` entries
+    (entry at each block start is stored absolute) — the layout that
+    makes posting blocks independently decodable for block-max skipping."""
+    n = len(gaps)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    c = np.cumsum(gaps.astype(np.uint64))
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    base = np.zeros(len(starts), dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    lens = np.diff(np.append(starts, n))
+    return (c - np.repeat(base, lens)).astype(np.int64)
+
+
+def delta_decode_blocks_at(
+    gaps_at: np.ndarray, block_bounds: np.ndarray
+) -> np.ndarray:
+    """Decode a concatenation of SELECTED whole blocks: `gaps_at` holds
+    the gap values of those blocks back-to-back, `block_bounds` the
+    start offset of each selected block within `gaps_at` (each block's
+    first gap is the absolute doc id)."""
+    n = len(gaps_at)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    c = np.cumsum(gaps_at.astype(np.uint64))
+    base = np.zeros(len(block_bounds), dtype=np.uint64)
+    base[1:] = c[block_bounds[1:] - 1]
+    lens = np.diff(np.append(block_bounds, n))
+    return (c - np.repeat(base, lens)).astype(np.int64)
+
+
 # ------------------------------------------------- batched run encoding
 #
 # Encoding thousands of tiny posting lists one-by-one pays ~20 numpy

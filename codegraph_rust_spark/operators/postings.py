@@ -61,9 +61,39 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("tf_payload", T.BinaryType()),
         T.StructField("dl_payload", T.BinaryType()),
         T.StructField("block_last_doc", T.ArrayType(T.LongType())),
-        T.StructField("block_max", T.ArrayType(T.DoubleType())),
+        # Stat-INDEPENDENT block skip metadata: max tf and min dl per
+        # block.  score(tf, dl) is increasing in tf and decreasing in
+        # dl, so idf·score(tf_max, dl_min) is a sound per-block upper
+        # bound computed with CURRENT corpus stats at query time.
+        # Storing (tf_max, dl_min) instead of a precomputed score means
+        # posting rows never depend on global N/avgdl — rows stay valid
+        # (and byte-identical) across incremental updates that only
+        # touch other terms, and the encode stage needs no corpus-stats
+        # barrier before it.
+        T.StructField("block_tf", T.ArrayType(T.IntegerType())),
+        T.StructField("block_dl", T.ArrayType(T.IntegerType())),
     ]
 )
+
+
+def n_salts_expr(df_col, cfg: IndexConfig):
+    """Number of salt shards for a term with document frequency
+    `df_col` — 1 for tail terms, else ceil(df/threshold) rounded UP to
+    a power of two, capped at cfg.max_salts (itself a power of two).
+
+    Power-of-two shard counts make every n_salts divide max_salts, so
+    the query path can route posting rows onto a common doc-residue
+    grid (doc_id mod D) and run MaxScore per residue class in parallel
+    (operators/topk.py) — the query-side half of the skew story.
+    MUST stay bit-identical between build (salt_stage) and query."""
+    ratio = F.ceil(df_col / F.lit(cfg.salt_df_threshold))
+    expr = F.lit(cfg.max_salts)
+    for p in (32, 16, 8, 4, 2, 1):
+        if p <= cfg.max_salts:
+            expr = F.when(ratio <= p, F.lit(p)).otherwise(expr)
+    return F.when(df_col <= F.lit(cfg.salt_df_threshold), F.lit(1)).otherwise(
+        expr
+    ).cast("int")
 
 
 def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -188,22 +218,14 @@ def dictionary_stage(tf: DataFrame) -> DataFrame:
 def salt_stage(tf: DataFrame, dictionary: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Attach global df and a skew-splitting salt to each tf row.
 
-    Head terms (df > salt_df_threshold) are split into
-    ceil(df/threshold) shards, capped at max_salts; every other term
-    gets salt 0.  The salt function is doc_id mod n_salts — trivially
-    reproducible inside numpy at query time (unlike a JVM-only hash)
-    and uniform because hash doc ids are uniform.
+    Head terms (df > salt_df_threshold) are split into n_salts_expr(df)
+    power-of-two shards; every other term gets salt 0.  The salt
+    function is doc_id mod n_salts — trivially reproducible inside
+    numpy at query time (unlike a JVM-only hash) and uniform because
+    hash doc ids are uniform.
     """
-    n_salts = F.least(
-        F.lit(cfg.max_salts),
-        F.ceil(F.col("df") / F.lit(cfg.salt_df_threshold)).cast("int"),
-    )
     dict_small = dictionary.select(
-        "term_id",
-        "df",
-        F.when(F.col("df") > cfg.salt_df_threshold, n_salts)
-        .otherwise(F.lit(1))
-        .alias("n_salts"),
+        "term_id", "df", n_salts_expr(F.col("df"), cfg).alias("n_salts")
     )
     joined = tf.join(dict_small, "term_id")
     return joined.withColumn(
@@ -211,10 +233,10 @@ def salt_stage(tf: DataFrame, dictionary: DataFrame, cfg: IndexConfig) -> DataFr
     ).drop("n_salts")
 
 
-def build_postings(
-    tf_salted: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
-) -> DataFrame:
-    """(term_id, salt) groups → compressed posting rows with block-max.
+def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
+                   est_rows: int | None = None) -> DataFrame:
+    """(term_id, salt) groups → compressed posting rows with block
+    skip metadata.
 
     SPIMI formulation: shuffle once on (term_id, salt), sort within
     partitions by (term_id, salt, doc_id), then stream each partition
@@ -224,24 +246,28 @@ def build_postings(
     version spent milliseconds of pure overhead on every tiny tail
     term; with web-scale Zipf vocabularies almost all terms are tail).
     Doc ids arrive pre-sorted from the shuffle sort, so encoding is a
-    straight sweep.  Block-max scores are exact BM25(k1, b) partials —
-    the skip metadata for MaxScore/WAND pruning.
+    straight sweep.
+
+    Delta chains RESTART at every block boundary (first doc id of each
+    block is stored absolute), so a block is decodable without touching
+    the blocks before it — together with the split-layout prefix
+    stream this gives true block-granular random access for
+    MaxScore/BMW probes (operators/topk.py).  Block metadata is
+    (tf_max, dl_min) per block — stat-independent, see POSTINGS_SCHEMA.
 
     Memory: salting caps every (term_id, salt) run at roughly
     salt_df_threshold entries, so the carry buffer between Arrow
     batches stays bounded regardless of term skew (the north rule's
     build-side skew handling).
     """
-    k1, b, block = cfg.k1, cfg.b, cfg.block_size
-    N = max(int(n_docs), 1)
-    avgdl = float(avgdl) if avgdl else 1.0
+    block = cfg.block_size
 
     def encode_chunk(term_ids, salts, doc_ids, tfs, dls, dfs, out):
         """Slice one concatenated sorted chunk into (term,salt) runs and
         emit one posting row per run into `out` — ALL numpy work is
         batched across runs (one encode pass per payload stream, one
-        reduceat for block-max), so tiny tail terms cost no per-run
-        dispatch overhead."""
+        reduceat pair for block metadata), so tiny tail terms cost no
+        per-run dispatch overhead."""
         n = len(term_ids)
         if n == 0:
             return
@@ -252,16 +278,8 @@ def build_postings(
         starts = np.concatenate([[0], change + 1]).astype(np.int64)
         ends = np.concatenate([change + 1, [n]]).astype(np.int64)
         lens = ends - starts
-        idfs = np.log((N - dfs + 0.5) / (dfs + 0.5) + 1.0)
-        scores = idfs * (tfs * (k1 + 1.0)) / (
-            tfs + k1 * (1.0 - b + b * dls / avgdl)
-        )
 
-        doc_bufs = encode_runs(delta_encode_runs(doc_ids, starts), starts, ends, 8)
-        tf_bufs = encode_runs(tfs, starts, ends, 4)
-        dl_bufs = encode_runs(np.minimum(dls, 2**32 - 1), starts, ends, 4)
-
-        # block-max via one reduceat over global block starts
+        # global block starts (block grid restarts at each run start)
         nblocks = (lens + block - 1) // block
         boffs = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(nblocks, out=boffs[1:])
@@ -269,9 +287,20 @@ def build_postings(
         block_run = np.repeat(np.arange(len(lens)), nblocks)
         within = (np.arange(total_blocks) - boffs[block_run]) * block
         bstarts = starts[block_run] + within
-        block_max_all = np.maximum.reduceat(scores, bstarts)
         bend = np.minimum(bstarts + block, ends[block_run])
+
+        # delta chains restart at BLOCK starts (not just run starts):
+        # bstarts includes every run's first block, so run starts are
+        # covered; each block's first gap is the absolute doc id.
+        doc_bufs = encode_runs(
+            delta_encode_runs(doc_ids, bstarts), starts, ends, 8
+        )
+        tf_bufs = encode_runs(tfs, starts, ends, 4)
+        dl_bufs = encode_runs(np.minimum(dls, 2**32 - 1), starts, ends, 4)
+
         block_last_all = doc_ids[bend - 1]
+        block_tf_all = np.maximum.reduceat(tfs, bstarts)
+        block_dl_all = np.minimum.reduceat(dls, bstarts)
 
         for r in range(len(lens)):
             s = int(starts[r])
@@ -286,7 +315,8 @@ def build_postings(
                     tf_bufs[r],
                     dl_bufs[r],
                     block_last_all[b0:b1].tolist(),
-                    block_max_all[b0:b1].tolist(),
+                    np.minimum(block_tf_all[b0:b1], 2**31 - 1).tolist(),
+                    np.minimum(block_dl_all[b0:b1], 2**31 - 1).tolist(),
                 )
             )
 
@@ -354,7 +384,7 @@ def build_postings(
     # ~2.5M rows (~150MB) to keep sorts in memory — at low core counts
     # the extra tasks just queue, at high counts they parallelize.
     spark = tf_salted.sparkSession
-    est_rows = max(1, int(n_docs * max(avgdl, 1.0) * 0.85))
+    est_rows = max(1, int(est_rows or 1))
     n_part = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         (est_rows + 2_500_000 - 1) // 2_500_000,

@@ -14,12 +14,26 @@ global top-k):
   decodes + scores itself in ``mapInPandas`` (pure numpy), partials
   shuffle on (qid, doc_id), ``groupBy().sum()`` merges, window top-k.
   Exhaustive and embarrassingly parallel — the 10^12-doc scan path.
-* **MaxScore** (``mode="maxscore"``) — WAND-family dynamic pruning in
-  one Arrow batch per query: terms ordered by exact upper bound
-  (precomputed block-max), essential lists enumerated, non-essential
-  lists only probed via ``searchsorted`` for surviving candidates.
-  The low-latency top-k path; candidates that cannot reach the
-  running threshold θ are dropped before each probe.
+* **MaxScore** (``mode="maxscore"``) — WAND-family dynamic pruning,
+  parallelized over DOC-RESIDUE classes: every posting row is routed
+  onto a common grid ``g = doc_id mod D`` (D = max salt count among
+  the query's terms; power-of-two salt counts make the routing exact —
+  a head term's shard (salt s, n_salts n) serves residues
+  {s, s+n, s+2n, …}; tail rows replicate to all D residues).  Each
+  (query, residue) group holds the COMPLETE postings of its docs, so
+  it runs an independent MaxScore with a local threshold θ and returns
+  a local top-k; a tiny window merge produces the global top-k — exact,
+  because every doc's full score lives in exactly one group.  Head-term
+  volume therefore splits D ways instead of concentrating in one task
+  (the round-1 design shipped ALL salt shards of a query to ONE task).
+
+  Inside a group, non-essential lists are probed with true block-max
+  skipping: per-block upper bounds come from the stored (tf_max,
+  dl_min) metadata, candidates that cannot reach θ are dropped
+  *per block*, and only the surviving blocks are decoded — possible
+  because delta chains restart at block boundaries and the split-layout
+  codec gives positional access from the prefix stream alone
+  (operators/codec.py:decode_u64_at).
 
 Both produce rank-identical results (ties broken by ascending
 doc_id) — asserted against the pure-Python exhaustive oracle in
@@ -35,7 +49,15 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from ..config import IndexConfig
 from ..sources.catalog import Catalog
 from ..textkit.tokenizer import tokenize
-from .codec import decode_u32, decode_u64, delta_decode
+from .codec import (
+    decode_u32,
+    decode_u32_at,
+    decode_u64,
+    decode_u64_at,
+    delta_decode_blocked,
+    delta_decode_blocks_at,
+)
+from .postings import n_salts_expr
 from .xxhash import xxh64_str
 
 PARTIAL_SCHEMA = T.StructType(
@@ -54,20 +76,6 @@ TOPK_SCHEMA = T.StructType(
         T.StructField("rank", T.IntegerType()),
     ]
 )
-
-
-def _decode_group(pdf_rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode + merge the salt shards of one term into sorted arrays."""
-    docs_parts, tf_parts, dl_parts = [], [], []
-    for _, r in pdf_rows.iterrows():
-        docs_parts.append(delta_decode(decode_u64(bytes(r["doc_payload"]))))
-        tf_parts.append(decode_u32(bytes(r["tf_payload"])))
-        dl_parts.append(decode_u32(bytes(r["dl_payload"])))
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
-    order = np.argsort(docs, kind="stable")
-    return docs[order], tfs[order], dls[order]
 
 
 def _bm25(tfs, dls, df, n_docs, avgdl, k1, b) -> np.ndarray:
@@ -119,11 +127,19 @@ class InvertedIndex:
             F.col("tbucket").isin(buckets) & F.col("term_id").isin(term_ids)
         )
 
+    def _qdf(self, qterms: pd.DataFrame) -> DataFrame:
+        qmap = qterms.groupby("term_id")["qid"].agg(list).to_dict()
+        return self.spark.createDataFrame(
+            [(int(t), int(q)) for t, qs in qmap.items() for q in qs],
+            "term_id long, qid int",
+        )
+
     # ------------------------------------------------------------- TAAT
 
     def _topk_taat(self, qterms: pd.DataFrame, k: int) -> DataFrame:
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
+        block = self.cfg.block_size
         # (term_id → [qids]) map is tiny: broadcast-join in pandas space
         tid_to_qids: dict[int, list[int]] = {}
         for _, r in qterms.iterrows():
@@ -134,12 +150,14 @@ class InvertedIndex:
         def score(batches):
             for pdf in batches:
                 out_q, out_d, out_s = [], [], []
-                for _, r in pdf.iterrows():
-                    docs = delta_decode(decode_u64(bytes(r["doc_payload"])))
-                    tfs = decode_u32(bytes(r["tf_payload"]))
-                    dls = decode_u32(bytes(r["dl_payload"]))
-                    sc = _bm25(tfs, dls, int(r["df"]), n_docs, avgdl, k1, b)
-                    for qid in tid_to_qids.get(int(r["term_id"]), ()):
+                for r in pdf.itertuples(index=False):
+                    docs = delta_decode_blocked(
+                        decode_u64(bytes(r.doc_payload)), block
+                    )
+                    tfs = decode_u32(bytes(r.tf_payload))
+                    dls = decode_u32(bytes(r.dl_payload))
+                    sc = _bm25(tfs, dls, int(r.df), n_docs, avgdl, k1, b)
+                    for qid in tid_to_qids.get(int(r.term_id), ()):
                         out_q.append(np.full(len(docs), qid, dtype=np.int32))
                         out_d.append(docs)
                         out_s.append(sc)
@@ -166,25 +184,27 @@ class InvertedIndex:
     def _topk_maxscore(self, qterms: pd.DataFrame, k: int) -> DataFrame:
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
+        block = self.cfg.block_size
         matched = self._matched_postings(qterms)
-        qmap = qterms.groupby("term_id")["qid"].agg(list).to_dict()
 
         def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            qid = int(key[0])
+            qid, g = int(key[0]), int(key[1])
+            D = int(pdf["D"].iloc[0])
             lists = []
-            for term_id, grp in pdf.groupby("term_id"):
-                docs, tfs, dls = _decode_group(grp)
-                df_g = int(grp["df"].iloc[0])
-                sc = _bm25(tfs, dls, df_g, n_docs, avgdl, k1, b)
-                ub = float(max(float(g) for g in
-                               (max(bm) for bm in grp["block_max"] if len(bm))
-                               ) if len(docs) else 0.0)
-                lists.append((ub, int(term_id), docs, sc))
+            for r in pdf.itertuples(index=False):
+                df_t = int(r.df)
+                idf = np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                btf = np.asarray(r.block_tf, dtype=np.float64)
+                bdl = np.asarray(r.block_dl, dtype=np.float64)
+                block_ub = idf * (btf * (k1 + 1.0)) / (
+                    btf + k1 * (1.0 - b + b * bdl / avgdl)
+                )
+                ub = float(block_ub.max()) if len(block_ub) else 0.0
+                lists.append((ub, int(r.term_id), r, df_t, block_ub))
             if not lists:
                 return pd.DataFrame(
-                    {"qid": [], "doc_id": [], "score": [], "rank": []}
-                ).astype({"qid": "int32", "doc_id": "int64",
-                          "score": "float64", "rank": "int32"})
+                    {"qid": [], "doc_id": [], "score": []}
+                ).astype({"qid": "int32", "doc_id": "int64", "score": "float64"})
             # MaxScore: essential lists (desc ub) enumerated until the
             # remaining upper-bound mass cannot beat θ.
             lists.sort(key=lambda x: (-x[0], x[1]))
@@ -193,11 +213,24 @@ class InvertedIndex:
             cand_docs = np.zeros(0, dtype=np.int64)
             cand_sc = np.zeros(0, dtype=np.float64)
             theta = -np.inf
-            for i, (_ub, _tid, docs, sc) in enumerate(lists):
-                essential = not (theta > -np.inf and ubs[i] + suffix_ub[i] < theta
-                                 and len(cand_docs) >= k)
+            for i, (_ub, _tid, r, df_t, block_ub) in enumerate(lists):
+                n_t = int(r.n_salts)
+                essential = not (
+                    theta > -np.inf
+                    and ubs[i] + suffix_ub[i] < theta
+                    and len(cand_docs) >= k
+                )
                 if essential:
-                    # merge-accumulate full list
+                    # enumerate the full list (this group's residues only)
+                    docs = delta_decode_blocked(
+                        decode_u64(bytes(r.doc_payload)), block
+                    )
+                    tfs = decode_u32(bytes(r.tf_payload))
+                    dls = decode_u32(bytes(r.dl_payload))
+                    if n_t < D:
+                        m = (docs % D) == g
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
+                    sc = _bm25(tfs, dls, df_t, n_docs, avgdl, k1, b)
                     all_docs = np.concatenate([cand_docs, docs])
                     all_sc = np.concatenate([cand_sc, sc])
                     cand_docs, inv = np.unique(all_docs, return_inverse=True)
@@ -205,15 +238,51 @@ class InvertedIndex:
                     np.add.at(merged, inv, all_sc)
                     cand_sc = merged
                 else:
-                    # prune candidates that cannot reach θ, then probe
+                    # candidates that cannot reach θ with the whole
+                    # remaining mass are dead for good
                     keep = cand_sc + ubs[i] + suffix_ub[i] >= theta
-                    # (candidates already dead for ALL remaining lists
-                    #  can never re-enter — safe to drop)
                     cand_docs, cand_sc = cand_docs[keep], cand_sc[keep]
-                    idx = np.searchsorted(docs, cand_docs)
-                    idx_c = np.minimum(idx, len(docs) - 1)
-                    hit = docs[idx_c] == cand_docs
-                    cand_sc[hit] += sc[idx_c[hit]]
+                    if len(cand_docs) == 0:
+                        continue
+                    bld = np.asarray(r.block_last_doc, dtype=np.int64)
+                    nblocks = len(bld)
+                    n_entries = int(r.n)
+                    blk = np.searchsorted(bld, cand_docs, side="left")
+                    inlist = blk < nblocks
+                    # block-level refinement: candidate's potential
+                    # contribution from THIS list is its block's ub
+                    gain = np.zeros(len(cand_docs))
+                    gain[inlist] = block_ub[blk[inlist]]
+                    probe = inlist & (cand_sc + gain + suffix_ub[i] >= theta)
+                    if not probe.any():
+                        continue
+                    # decode ONLY the blocks holding surviving candidates
+                    sel = np.unique(blk[probe])
+                    bs = sel * block
+                    be = np.minimum(bs + block, n_entries)
+                    blens = be - bs
+                    bounds = np.zeros(len(sel), dtype=np.int64)
+                    np.cumsum(blens[:-1], out=bounds[1:])
+                    pos = (
+                        np.arange(int(blens.sum()), dtype=np.int64)
+                        - np.repeat(bounds, blens)
+                        + np.repeat(bs, blens)
+                    )
+                    doc_buf = bytes(r.doc_payload)
+                    docs_sel = delta_decode_blocks_at(
+                        decode_u64_at(doc_buf, pos), bounds
+                    )
+                    pc = cand_docs[probe]
+                    idx = np.searchsorted(docs_sel, pc)
+                    idx_c = np.minimum(idx, len(docs_sel) - 1)
+                    hit = docs_sel[idx_c] == pc
+                    if hit.any():
+                        hit_pos = pos[idx_c[hit]]
+                        tf_h = decode_u32_at(bytes(r.tf_payload), hit_pos)
+                        dl_h = decode_u32_at(bytes(r.dl_payload), hit_pos)
+                        sc_h = _bm25(tf_h, dl_h, df_t, n_docs, avgdl, k1, b)
+                        probe_idx = np.nonzero(probe)[0]
+                        cand_sc[probe_idx[hit]] += sc_h
                 if len(cand_sc) >= k:
                     theta = np.partition(cand_sc, -k)[-k]
             order = np.lexsort((cand_docs, -cand_sc))[:k]
@@ -222,17 +291,36 @@ class InvertedIndex:
                     "qid": np.full(len(order), qid, dtype=np.int32),
                     "doc_id": cand_docs[order],
                     "score": cand_sc[order],
-                    "rank": np.arange(1, len(order) + 1, dtype=np.int32),
                 }
             )
 
-        # attach qid by exploding the (term_id → qids) mapping
-        qdf = self.spark.createDataFrame(
-            [(int(t), int(q)) for t, qs in qmap.items() for q in qs],
-            "term_id long, qid int",
+        # route rows onto the per-query doc-residue grid g = doc mod D
+        pq = matched.join(F.broadcast(self._qdf(qterms)), "term_id")
+        pq = pq.withColumn("n_salts", n_salts_expr(F.col("df"), self.cfg))
+        d_per_q = pq.groupBy("qid").agg(F.max("n_salts").alias("D"))
+        pq = pq.join(F.broadcast(d_per_q), "qid")
+        pq = pq.withColumn(
+            "rep",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.col("D") / F.col("n_salts")).cast("int") - 1
+                )
+            ),
+        ).withColumn(
+            "g", (F.col("salt") + F.col("rep") * F.col("n_salts")).cast("int")
         )
-        per_query = matched.join(F.broadcast(qdf), "term_id")
-        return per_query.groupBy("qid").applyInPandas(run, schema=TOPK_SCHEMA)
+        # explicit AQE-exempt partitioning: the groups are CPU-bound
+        # Python; byte-based coalescing would serialize them into one
+        # task (postings blobs are small in bytes).
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        pq = pq.repartition(n_part, "qid", "g")
+        partial = pq.groupBy("qid", "g").applyInPandas(run, schema=PARTIAL_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+        )
 
     # ------------------------------------------------------------- API
 

@@ -114,7 +114,8 @@ def derived_stages(
     if not done.get(POSTINGS):
         def _postings():
             salted = salt_stage(tf, dictionary, cfg)
-            cat.write(build_postings(salted, n_docs, avgdl, cfg), POSTINGS)
+            est_rows = int(n_docs * max(avgdl, 1.0) * 0.85)
+            cat.write(build_postings(salted, cfg, est_rows=est_rows), POSTINGS)
         timed(POSTINGS, _postings)
 
     write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))

@@ -79,6 +79,57 @@ def test_posting_empty():
     assert len(d) == 0 and len(t) == 0
 
 
+def test_positional_decode_matches_full():
+    """decode_*_at must agree with the full decoders at any position."""
+    from codegraph_rust_spark.operators.codec import decode_u32_at, decode_u64_at
+
+    rng = np.random.default_rng(3)
+    v64 = rng.integers(0, 2**62, size=777, dtype=np.uint64)
+    v32 = rng.integers(0, 2**32 - 1, size=777, dtype=np.uint64).astype(np.uint32)
+    b64, b32 = encode_u64(v64), encode_u32(v32)
+    pos = np.array([0, 1, 3, 4, 5, 127, 128, 129, 500, 776], dtype=np.int64)
+    assert np.array_equal(decode_u64_at(b64, pos), v64[pos])
+    assert np.array_equal(decode_u32_at(b32, pos), v32[pos])
+
+
+def test_blocked_delta_roundtrip_and_block_access():
+    """Block-restarted delta chains: full decode and selected-block
+    decode must both reproduce the original sorted ids."""
+    from codegraph_rust_spark.operators.codec import (
+        delta_decode_blocks_at,
+        delta_decode_blocked,
+        delta_encode_runs,
+        decode_u64_at,
+        encode_runs,
+    )
+
+    rng = np.random.default_rng(11)
+    B = 128
+    for n in (1, 5, 127, 128, 129, 1000):
+        ids = np.sort(rng.choice(2**45, size=n, replace=False)).astype(np.int64)
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([n], dtype=np.int64)
+        bstarts = np.arange(0, n, B, dtype=np.int64)
+        buf = encode_runs(delta_encode_runs(ids, bstarts), starts, ends, 8)[0]
+        # full decode
+        assert np.array_equal(delta_decode_blocked(decode_u64(buf), B), ids)
+        # selected-block decode (every other block)
+        nblocks = (n + B - 1) // B
+        sel = np.arange(0, nblocks, 2, dtype=np.int64)
+        bs = sel * B
+        be = np.minimum(bs + B, n)
+        blens = be - bs
+        bounds = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(blens[:-1], out=bounds[1:])
+        pos = (
+            np.arange(int(blens.sum()), dtype=np.int64)
+            - np.repeat(bounds, blens)
+            + np.repeat(bs, blens)
+        )
+        got = delta_decode_blocks_at(decode_u64_at(buf, pos), bounds)
+        assert np.array_equal(got, ids[pos])
+
+
 def test_run_encoders_match_single():
     """Batched run encoding must produce byte-identical buffers to the
     per-run encoders."""

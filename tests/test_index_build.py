@@ -6,7 +6,11 @@ import shutil
 import numpy as np
 from pyspark.sql import functions as F
 
-from codegraph_rust_spark.operators.codec import decode_u32, decode_u64, delta_decode
+from codegraph_rust_spark.operators.codec import (
+    decode_u32,
+    decode_u64,
+    delta_decode_blocked,
+)
 
 
 def test_build_metrics(tiny_index):
@@ -42,7 +46,7 @@ def test_postings_sorted_and_roundtrip(spark, tiny_index):
     post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
     rows = post.orderBy(F.desc("n")).limit(20).collect()
     for r in rows:
-        docs = delta_decode(decode_u64(bytes(r["doc_payload"])))
+        docs = delta_decode_blocked(decode_u64(bytes(r["doc_payload"])), 128)
         tfs = decode_u32(bytes(r["tf_payload"]))
         dls = decode_u32(bytes(r["dl_payload"]))
         assert len(docs) == r["n"] == len(tfs) == len(dls)
@@ -51,6 +55,12 @@ def test_postings_sorted_and_roundtrip(spark, tiny_index):
         nblocks = len(r["block_last_doc"])
         assert nblocks == (r["n"] + 127) // 128
         assert r["block_last_doc"][-1] == docs[-1]
+        # block metadata: per-block tf max / dl min, block-last doc ids
+        for bi in range(nblocks):
+            s, e = bi * 128, min((bi + 1) * 128, r["n"])
+            assert r["block_last_doc"][bi] == docs[e - 1]
+            assert r["block_tf"][bi] == int(tfs[s:e].max())
+            assert r["block_dl"][bi] == int(dls[s:e].min())
 
 
 def test_salting_caps_group_size(spark, tiny_index):
