@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from . import dedup_approx as da
 from . import graph as g
+from . import indexed as ix
 from . import relational as r
 from . import textops as tx
 
@@ -38,6 +39,9 @@ REGISTRY: dict = {
     "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
     "term_postings": (tx.term_postings, tx.TERM_POSTINGS_SQL),
     "bm25_topk": (tx.bm25_topk, tx.BM25_TOPK_SQL),
+    # engine-backed: the Spark side decodes the compressed postings index
+    "bm25_index_topk": (ix.bm25_index_topk, ix.BM25_INDEX_TOPK_SQL),
+    "hybrid_index_topk": (ix.hybrid_index_topk, ix.HYBRID_INDEX_TOPK_SQL),
     "find_docs_by_term": (tx.find_docs_by_term, tx.FIND_DOCS_BY_TERM_SQL),
     "top_sources": (tx.top_sources, tx.TOP_SOURCES_SQL),
     # text analysis (training pipeline)
