@@ -9,10 +9,12 @@ hash functions (minhash/simhash) have no SQL mirror → rows-only check.
 
 from __future__ import annotations
 
+from . import chunking as ck
 from . import dedup_approx as da
 from . import graph as g
 from . import indexed as ix
 from . import relational as r
+from . import rerank as rr
 from . import textops as tx
 
 # name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
@@ -43,6 +45,10 @@ REGISTRY: dict = {
     "bm25_index_topk": (ix.bm25_index_topk, ix.BM25_INDEX_TOPK_SQL),
     "hybrid_index_topk": (ix.hybrid_index_topk, ix.HYBRID_INDEX_TOPK_SQL),
     "find_docs_by_term": (tx.find_docs_by_term, tx.FIND_DOCS_BY_TERM_SQL),
+    "metadata_search_filters": (
+        tx.metadata_search_filters,
+        tx.METADATA_SEARCH_FILTERS_SQL,
+    ),
     "top_sources": (tx.top_sources, tx.TOP_SOURCES_SQL),
     # text analysis (training pipeline)
     "token_count": (tx.token_count, tx.TOKEN_COUNT_SQL),
@@ -54,6 +60,10 @@ REGISTRY: dict = {
     "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
     "minhash_lsh_pairs": (da.minhash_lsh_pairs, None),
     "simhash_near_pairs": (da.simhash_near_pairs, None),
+    # chunking / reranking (training-data prep + post-retrieval stages)
+    "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
+    "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),
+    "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
     # similarity / vectors
     "knn_bruteforce": (tx.knn_bruteforce, tx.KNN_BRUTEFORCE_SQL),
     "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),

@@ -1,0 +1,175 @@
+"""Post-retrieval rescoring stages: reranker and overfetch-then-refine.
+
+* ``rerank_topk`` — the reference's reranking pipeline hook
+  (crates/codegraph-vector/src/reranker.rs:8-16 — trait with
+  original_rank in, reranked position out; applied at :64-80): a
+  first-stage retriever overfetches 2k candidates, a second-stage
+  scorer (here: exact embedding cosine as the cross-encoder stand-in)
+  re-scores them fused with the text score, and the output carries
+  BOTH ``original_rank`` and ``reranked_position`` for attribution.
+
+* ``ann_overfetch_refine`` — the reference's two-stage vector search
+  (crates/codegraph-vector/src/search.rs:113 ``limit*3`` and :292
+  ``k*4+25`` prefetch): a cheap proxy score (sign-agreement count over
+  the leading dimensions) prefetches k·4+25 candidates; exact cosine
+  refines and truncates to k.  At 10^12 vectors the proxy stage is the
+  only full scan (whole-stage codegen arithmetic, no Python), and the
+  exact stage touches a constant candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .common import t
+from .textops import _BM25_TOPK_SQL_T, bm25_topk
+
+RERANK_K = 10
+ANN_K = 5
+ANN_PREFETCH = ANN_K * 4 + 25  # search.rs:292
+_SIGN_DIMS = 16
+
+
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overfetch BM25 top-2k → rescore 0.5·text + 0.5·cosine(query
+    vec_id=0) → reranked top-k with (original_rank, reranked_position)."""
+    cand = bm25_topk(spark, sf_dir, k=RERANK_K * 2).select(
+        "doc_id",
+        F.col("score").alias("text_score"),
+        F.col("rank").alias("original_rank"),
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    dot = (
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x AS double) * cast(y AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    qnrm = (
+        "sqrt(aggregate(transform(q_emb, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    vec = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"({dot}) / (({nrm}) * ({qnrm}))").alias("cosine"),
+        )
+    )
+    rescored = cand.join(vec, "doc_id", "left").select(
+        "doc_id",
+        "original_rank",
+        F.round(
+            0.5 * F.col("text_score") + 0.5 * F.coalesce("cosine", F.lit(0.0)), 6
+        ).alias("rerank_score"),
+    )
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("reranked_position", F.row_number().over(w))
+        .filter(F.col("reranked_position") <= RERANK_K)
+        .select("doc_id", "original_rank", "reranked_position", "rerank_score")
+    )
+
+
+RERANK_TOPK_SQL = f"""
+WITH cand AS (
+  SELECT doc_id, score AS text_score, rank AS original_rank
+  FROM ({_BM25_TOPK_SQL_T.format(k=RERANK_K * 2)})
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(cast(e.embedding AS double[]), cast(q.q_emb AS double[]))
+         / (sqrt(list_dot_product(cast(e.embedding AS double[]), cast(e.embedding AS double[])))
+            * sqrt(list_dot_product(cast(q.q_emb AS double[]), cast(q.q_emb AS double[])))) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+rescored AS (
+  SELECT cand.doc_id, cand.original_rank,
+         round(0.5 * cand.text_score + 0.5 * coalesce(vec.cosine, 0.0), 6) AS rerank_score
+  FROM cand LEFT JOIN vec USING (doc_id)
+)
+SELECT doc_id, original_rank,
+       cast(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS int) AS reranked_position,
+       rerank_score
+FROM rescored
+ORDER BY rerank_score DESC, doc_id
+LIMIT {RERANK_K}
+"""
+
+
+def ann_overfetch_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: sign-agreement proxy prefetches k·4+25 candidates,
+    exact cosine refines to top-k (vs query vec_id=0)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    terms = [
+        F.when(
+            (F.element_at("embedding", i) >= 0) == (F.element_at("q_emb", i) >= 0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(1, _SIGN_DIMS + 1)
+    ]
+    proxy = terms[0]
+    for x in terms[1:]:
+        proxy = proxy + x
+    staged = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "q_emb", proxy.alias("proxy"))
+        .orderBy(F.desc("proxy"), F.asc("vec_id"))
+        .limit(ANN_PREFETCH)
+    )
+    dot = (
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x AS double) * cast(y AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    qnrm = (
+        "sqrt(aggregate(transform(q_emb, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    refined = staged.select(
+        "vec_id",
+        "proxy",
+        F.round(F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("vec_id", "proxy", "cosine", "rank")
+    )
+
+
+ANN_OVERFETCH_REFINE_SQL = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+prox AS (
+  SELECT e.vec_id, e.embedding, q.q_emb,
+         ({" + ".join(
+             f"CASE WHEN (e.embedding[{i}] >= 0) = (q.q_emb[{i}] >= 0) THEN 1 ELSE 0 END"
+             for i in range(1, _SIGN_DIMS + 1)
+         )}) AS proxy
+  FROM embeddings e CROSS JOIN q
+),
+staged AS (
+  SELECT * FROM prox ORDER BY proxy DESC, vec_id LIMIT {ANN_PREFETCH}
+),
+refined AS (
+  SELECT vec_id, proxy,
+         round(
+           list_dot_product(cast(embedding AS double[]), cast(q_emb AS double[]))
+           / (sqrt(list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])))
+              * sqrt(list_dot_product(cast(q_emb AS double[]), cast(q_emb AS double[])))),
+           6) AS cosine
+  FROM staged
+)
+SELECT vec_id, proxy, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM refined ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+"""

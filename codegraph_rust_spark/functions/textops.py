@@ -106,8 +106,8 @@ GROUP BY term, doc_id
 
 # ----------------------------------------------------------------- BM25 SQL
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive BM25(1.2, 0.75) top-10 over documents for the fixed
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Exhaustive BM25(1.2, 0.75) top-k over documents for the fixed
     query — the 'degenerate index' end-to-end slice (SURVEY.md §7):
     tf/df/dl via joins, scoring in whole-stage-codegen expressions,
     TakeOrderedAndProject top-k. Semantics of surql:425-447."""
@@ -139,12 +139,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
+        .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
 
 
-BM25_TOPK_SQL = """
+_BM25_TOPK_SQL_T = """
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
@@ -176,8 +176,10 @@ scored AS (
 )
 SELECT doc_id, score,
        cast(row_number() OVER (ORDER BY score DESC, doc_id) AS int) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 10
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+BM25_TOPK_SQL = _BM25_TOPK_SQL_T.format(k=10)
 
 
 def find_docs_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +219,32 @@ SELECT source, count(*) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source
 ORDER BY n_docs DESC, source LIMIT 10
+"""
+
+
+def metadata_search_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite metadata SearchFilters — the reference's typed filter
+    object (languages isin + numeric range + array membership,
+    crates/codegraph-vector/src/search.rs SearchFilters / surql
+    composite-index predicates :843-849) as one pushed-down conjunctive
+    scan: categorical isin, range, and token-array CONTAINS."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            F.col("lang").isin("en", "de")
+            & F.col("n_chars").between(500, 5000)
+            & F.array_contains(_TOKS(), "data")
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+METADATA_SEARCH_FILTERS_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+  AND n_chars BETWEEN 500 AND 5000
+  AND list_contains(list_filter(string_split(lower(text), ' '), x -> x <> ''), 'data')
 """
 
 
