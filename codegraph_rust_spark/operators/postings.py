@@ -397,13 +397,17 @@ def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
         "tbucket", F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).cast("int")
     )
     # compact: co-locate each tbucket in one output task and sort rows
-    # by term_id, so every part FILE holds exactly one bucket with tight
-    # term_id min/max row-group stats — query-time `tbucket = X AND
-    # term_id IN (...)` filters then skip whole files/row-groups via
-    # parquet statistics.  Same pruning as hive-style partitionBy
-    # without the dynamic-partition writer overhead (measured 4x slower)
-    # or the directory explosion.  This shuffle moves already-encoded
-    # blobs (small), not raw postings.
+    # by term_id, so every bucket is written as ONE sorted file with
+    # tight term_id min/max row-group stats — the caller persists this
+    # under tbucket=X directories (Catalog.write(partition_by=
+    # ["tbucket"])), giving (a) identity bucket→directory mapping so
+    # incremental updates can replace exactly the touched buckets and
+    # leave every other bucket byte-identical, and (b) partition
+    # pruning on tbucket plus row-group skipping on term_id at query
+    # time.  The pre-repartition keeps the dynamic-partition writer in
+    # sorted single-open-file mode (an unsorted partitionBy write
+    # measured 4x slower).  This shuffle moves already-encoded blobs
+    # (small), not raw postings.
     return out.repartition(cfg.term_buckets, "tbucket").sortWithinPartitions(
         "tbucket", "term_id"
     )

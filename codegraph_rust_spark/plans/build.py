@@ -115,7 +115,11 @@ def derived_stages(
         def _postings():
             salted = salt_stage(tf, dictionary, cfg)
             est_rows = int(n_docs * max(avgdl, 1.0) * 0.85)
-            cat.write(build_postings(salted, cfg, est_rows=est_rows), POSTINGS)
+            cat.write(
+                build_postings(salted, cfg, est_rows=est_rows),
+                POSTINGS,
+                partition_by=["tbucket"],
+            )
         timed(POSTINGS, _postings)
 
     write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))

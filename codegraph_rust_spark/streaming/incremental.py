@@ -4,65 +4,72 @@ Re-expresses the reference's incremental path:
 
 * change detection by content hash vs the ledger —
   ``detect_file_changes`` classifying Added/Modified/Deleted/Unchanged
-  (crates/codegraph-mcp/src/indexer.rs:3186-3251) → a full-outer join
-  of the new snapshot's (url, xxhash64) against the stored ``docs``
-  table;
+  (crates/codegraph-mcp/src/indexer.rs:3186-3251) → a join of the new
+  snapshot's (url, xxhash64) against the stored ``docs`` table
+  (full-outer when the input is a full snapshot; left when it is an
+  upsert feed from the watch source, which never implies deletes);
 * unchanged ⇒ early return (indexer.rs:869-976 gate);
 * delete-then-insert for changed docs (indexer.rs:1040-1048, 932-938)
-  → splice the doc-granular ``tokenized`` ledger: drop rows of
-  deleted/modified urls, append freshly tokenized rows for
-  added/modified pages, then rebuild the derived tables
-  (docs/corpus/dictionary/postings) from the spliced ledger.
+  → splice the doc-granular ``tokenized`` ledger, then bring the
+  derived tables up to date INCREMENTALLY:
 
-Cost model at scale: extraction + stemming (the dominant build cost)
-runs ONLY on changed documents.  Global BM25 statistics (N, avgdl, df)
-legitimately change with any update, so posting payloads and block-max
-metadata are recomputed from the spliced ledger — stale upper bounds
-would silently break WAND-family pruning.  A bucket-pruned merge
-(re-encode only touched tbuckets) is a further optimization once
-change sets are small relative to the term space.
+  - dictionary: df/cf delta merge — subtract the removed docs' term
+    counts, add the new docs', keep every other row (no full re-agg);
+  - postings: re-encode ONLY the touched term buckets (the buckets of
+    terms appearing in removed or added docs) and replace exactly those
+    ``tbucket=X`` directories; every other bucket's files stay
+    BYTE-IDENTICAL — possible because posting rows carry no global
+    corpus statistics (block metadata is (tf_max, dl_min), not
+    precomputed scores — operators/postings.py);
+  - docs/corpus/manifest: rebuilt from the spliced ledger (doc-granular
+    columnar scans, cheap relative to encode).
+
+Cost model at scale: extraction + stemming runs only on changed
+documents; encode + write touches only the term buckets those
+documents' vocabularies hash into.  Global BM25 statistics (N, avgdl)
+change with any update, but they live in the one-row ``corpus_stats``
+table read at query time — posting payloads don't embed them.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import IndexConfig
-from ..operators.postings import tokenize_stage
-from ..plans.build import DOCS, TOKENIZED, derived_stages
+from ..operators.postings import build_postings, explode_tf, salt_stage, tokenize_stage
+from ..plans.build import CORPUS, DICT, DOCS, POSTINGS, TOKENIZED, write_lineage
 from ..sources.catalog import Catalog
 
 
+def _swap_table(cat: Catalog, name: str) -> None:
+    """Crash-safe table swap: live → _old, _next → live, delete _old."""
+    old_aside = cat.path(name + "_old")
+    shutil.rmtree(old_aside, ignore_errors=True)
+    if os.path.exists(cat.path(name)):
+        os.rename(cat.path(name), old_aside)
+    os.rename(cat.path(name + "_next"), cat.path(name))
+    shutil.rmtree(old_aside, ignore_errors=True)
+
+
 def _swap_ledger(cat: Catalog) -> None:
-    """Crash-safe ledger swap: old → _old, _next → live, delete _old.
-    A crash at any point leaves either the old or the new committed
-    ledger findable; ``recover_ledger`` completes an interrupted swap."""
-    import shutil
-
-    old_aside = cat.path(TOKENIZED + "_old")
-    shutil.rmtree(old_aside, ignore_errors=True)
-    if os.path.exists(cat.path(TOKENIZED)):
-        os.rename(cat.path(TOKENIZED), old_aside)
-    os.rename(cat.path(TOKENIZED + "_next"), cat.path(TOKENIZED))
-    shutil.rmtree(old_aside, ignore_errors=True)
+    _swap_table(cat, TOKENIZED)
 
 
-def recover_ledger(cat: Catalog) -> bool:
-    """Complete an interrupted ledger swap (idempotent).  Returns True
-    if recovery ran.  Rules: a committed live ledger wins; else a
-    committed _next is promoted; a leftover _old is only a fallback
-    when neither live nor _next committed (crash mid-write)."""
-    import shutil
-
-    live, nxt, old = (cat.path(TOKENIZED + s) for s in ("", "_next", "_old"))
-    if cat.exists(TOKENIZED):
+def recover_ledger(cat: Catalog, name: str = TOKENIZED) -> bool:
+    """Complete an interrupted swap of `name` (idempotent).  Returns
+    True if recovery ran.  Rules: a committed live table wins; else a
+    committed _next is promoted; a leftover _old is the fallback when
+    neither live nor _next committed (crash mid-write)."""
+    live, nxt, old = (cat.path(name + s) for s in ("", "_next", "_old"))
+    if cat.exists(name):
         for p in (nxt, old):
             shutil.rmtree(p, ignore_errors=True)
         return False
-    if cat.exists(TOKENIZED + "_next"):
+    if cat.exists(name + "_next"):
         shutil.rmtree(live, ignore_errors=True)
         os.rename(nxt, live)
         shutil.rmtree(old, ignore_errors=True)
@@ -74,16 +81,23 @@ def recover_ledger(cat: Catalog) -> bool:
     return False
 
 
-def detect_changes(spark: SparkSession, pages_new: DataFrame, index_dir: str,
-                   cfg: IndexConfig) -> DataFrame:
-    """Classify each url: added | modified | deleted | unchanged."""
+def detect_changes(
+    spark: SparkSession,
+    pages_new: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig,
+    full_snapshot: bool = True,
+) -> DataFrame:
+    """Classify each url: added | modified | deleted | unchanged.
+    With full_snapshot=False (watch-source upserts) absent urls are
+    simply not reported — never 'deleted'."""
     cat = Catalog(index_dir)
     old = cat.read(spark, DOCS).select(
         "url", F.col("content_hash").alias("old_hash")
     )
     src_col = "html" if "html" in pages_new.columns else "text"
     new = pages_new.select("url", F.xxhash64(src_col).alias("new_hash"))
-    joined = new.join(old, "url", "full_outer")
+    joined = new.join(old, "url", "full_outer" if full_snapshot else "left")
     return joined.select(
         "url",
         F.when(F.col("old_hash").isNull(), F.lit("added"))
@@ -94,11 +108,28 @@ def detect_changes(spark: SparkSession, pages_new: DataFrame, index_dir: str,
     )
 
 
+def _splice_postings(cat: Catalog, touched: list[int]) -> None:
+    """Replace exactly the touched tbucket=X directories of the live
+    postings table with the freshly encoded ones; every other bucket's
+    files are untouched (byte-identical)."""
+    post_dir = cat.path(POSTINGS)
+    next_dir = cat.path(POSTINGS + "_next")
+    for b in touched:
+        sub = f"tbucket={int(b)}"
+        dst = os.path.join(post_dir, sub)
+        src = os.path.join(next_dir, sub)
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+    shutil.rmtree(next_dir, ignore_errors=True)
+
+
 def incremental_update(
     spark: SparkSession,
     pages_new: DataFrame,
     index_dir: str,
     cfg: IndexConfig | None = None,
+    full_snapshot: bool = True,
 ) -> dict:
     """Bring the index at index_dir up to date with pages_new."""
     cfg = cfg or IndexConfig()
@@ -108,7 +139,8 @@ def incremental_update(
         raise ValueError(f"index at {index_dir} has no '{TOKENIZED}' ledger")
     t0 = time.time()
 
-    changes = detect_changes(spark, pages_new, index_dir, cfg).persist()
+    changes = detect_changes(spark, pages_new, index_dir, cfg, full_snapshot)
+    changes = changes.persist()
     counts = {
         r["change"]: r["n"]
         for r in changes.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -129,17 +161,95 @@ def incremental_update(
     keep_tok = old_tok.join(changed_urls, "url", "left_anti")
     pages_re = pages_new.join(reindex_urls, "url", "left_semi")
     new_tok = tokenize_stage(pages_re, cfg).select(*old_tok.columns)
-
     cat.write(keep_tok.unionByName(new_tok), TOKENIZED + "_next")
-    _swap_ledger(cat)
+    next_tok = cat.read(spark, TOKENIZED + "_next")
 
-    # --- rebuild derived tables from the spliced ledger
-    out = derived_stages(spark, cat, cfg, metrics)
+    # --- dictionary delta merge (everything below reads the OLD ledger
+    #     lazily, so it runs before any swap)
+    removed_tf = explode_tf(old_tok.join(changed_urls, "url", "left_semi"))
+    added_tf = explode_tf(next_tok.join(reindex_urls, "url", "left_semi"))
+    rm = removed_tf.groupBy("term_id").agg(
+        F.count(F.lit(1)).alias("rm_df"), F.sum("tf").alias("rm_cf")
+    )
+    ad = added_tf.groupBy("term_id").agg(
+        F.count(F.lit(1)).alias("ad_df"), F.sum("tf").alias("ad_cf")
+    )
+    delta = rm.join(ad, "term_id", "full_outer").persist()
+    touched = sorted(
+        int(r["b"])
+        for r in delta.select(
+            F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    metrics["touched_tbuckets"] = touched
+    old_dict = cat.read(spark, DICT)
+    merged = (
+        old_dict.join(delta, "term_id", "full_outer")
+        .select(
+            "term_id",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("rm_df", F.lit(0))
+                + F.coalesce("ad_df", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("rm_cf", F.lit(0))
+                + F.coalesce("ad_cf", F.lit(0))
+            ).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    t = time.time()
+    cat.write(merged, DICT + "_next")
+    metrics["stages"][DICT] = {"wall_s": round(time.time() - t, 3)}
+
+    # --- re-encode ONLY the touched buckets from the spliced ledger
+    t = time.time()
+    tf_touched = explode_tf(next_tok).filter(
+        F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).isin(touched)
+    )
+    salted = salt_stage(tf_touched, cat.read(spark, DICT + "_next"), cfg)
+    est_rows = max(1, int(next_tok.count() * 30 * len(touched) / cfg.term_buckets))
+    cat.write(
+        build_postings(salted, cfg, est_rows=est_rows),
+        POSTINGS + "_next",
+        partition_by=["tbucket"],
+    )
+    metrics["stages"][POSTINGS] = {"wall_s": round(time.time() - t, 3)}
+    delta.unpersist()
+
+    # --- swap + splice (directory ops only from here on)
+    _swap_ledger(cat)
+    _swap_table(cat, DICT)
+    _splice_postings(cat, touched)
+
+    # --- doc-granular derived tables from the new ledger
+    live_tok = cat.read(spark, TOKENIZED)
+    cat.write(
+        live_tok.select("doc_id", "url", "content_hash", "doc_len"), DOCS + "_next"
+    )
+    _swap_table(cat, DOCS)
+    docs = cat.read(spark, DOCS)
+    cat.write(
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("n_tokens"),
+            F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
+        ),
+        CORPUS,
+    )
+    stats = cat.read(spark, CORPUS).collect()[0]
+    write_lineage(cat, spark, int(stats["input_fingerprint"] or 0))
+
     changes.unpersist()
     metrics.update(
         {
             "unchanged": False,
-            "n_docs": out["n_docs"],
+            "n_docs": int(stats["n_docs"]),
             "wall_s": round(time.time() - t0, 3),
         }
     )

@@ -72,6 +72,63 @@ def test_incremental_equals_scratch(spark, v1_pages, v2_pages, tmp_path):
     assert ra == rb
 
 
+def _bucket_files(post_dir):
+    """{tbucket -> {filename: bytes}} for every tbucket=X subdir."""
+    out = {}
+    for sub in os.listdir(post_dir):
+        if not sub.startswith("tbucket="):
+            continue
+        b = int(sub.split("=")[1])
+        d = os.path.join(post_dir, sub)
+        out[b] = {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+    return out
+
+
+def test_untouched_buckets_byte_identical(spark, v1_pages, tmp_path):
+    """Per-tbucket merge: an update must rewrite ONLY the buckets of
+    terms in changed docs; every other bucket's parquet files stay
+    byte-identical.  Possible because posting rows carry no global
+    corpus stats (block metadata is (tf_max, dl_min)).  The update here
+    adds one tiny-vocabulary doc, so its touched-bucket set is small —
+    a typical ~120-token doc's vocabulary hashes into every bucket."""
+    idx_dir = str(tmp_path / "bytes")
+    build_index(spark, v1_pages, idx_dir, CFG, resume=False)
+    before = _bucket_files(os.path.join(idx_dir, "postings"))
+    tiny_doc = v1_pages.sparkSession.createDataFrame(
+        [("https://newhost.example/tiny",
+          b"<html><body><p>zzyzx quux</p></body></html>", "zzyzx quux")],
+        "url string, html binary, text string",
+    )
+    v3_pages = v1_pages.select("url", "html", "text").unionByName(tiny_doc)
+    m = incremental_update(spark, v3_pages, idx_dir, CFG)
+    touched = set(m["touched_tbuckets"])
+    assert touched and len(touched) <= 2, (
+        "one 2-term doc must touch at most 2 buckets"
+    )
+    after = _bucket_files(os.path.join(idx_dir, "postings"))
+    untouched = set(before) - touched
+    assert untouched, "need at least one untouched bucket to assert on"
+    for b in untouched:
+        assert after.get(b) == before[b], f"bucket {b} changed but was untouched"
+
+    # the delta-merged dictionary must equal a scratch recompute
+    scratch_dir = str(tmp_path / "bytes_scratch")
+    build_index(spark, v3_pages, scratch_dir, CFG, resume=False)
+    da = spark.read.parquet(os.path.join(idx_dir, "dictionary"))
+    db = spark.read.parquet(os.path.join(scratch_dir, "dictionary"))
+    agg = lambda d: tuple(
+        d.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(term_id, df, cf))"),
+        ).collect()[0]
+    )
+    assert agg(da) == agg(db)
+
+
 def test_noop_update_early_returns(spark, v1_pages, tmp_path):
     idx_dir = str(tmp_path / "noop")
     build_index(spark, v1_pages, idx_dir, CFG, resume=False)

@@ -29,11 +29,13 @@ def test_postings_read_prunes_partitions(spark, tiny_index):
     post = spark.read.parquet(os.path.join(tiny_index["dir"], "postings"))
     q = post.filter((F.col("tbucket") == 3) & (F.col("term_id") == 12345))
     plan = _formatted(q)
-    # flat layout: bucket pruning rides parquet min/max stats, so the
-    # tbucket predicate must reach the scan as a pushed filter
+    # hive layout (tbucket=X dirs): the bucket predicate prunes whole
+    # DIRECTORIES (PartitionFilters); term_id still reaches the scan as
+    # a pushed row-group filter
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan.split("PartitionFilters")[1][:200]
     assert "PushedFilters" in plan
-    pushed = plan.split("PushedFilters")[1][:300]
-    assert "tbucket" in pushed and "term_id" in pushed
+    assert "term_id" in plan.split("PushedFilters")[1][:300]
 
 
 def test_q1_whole_stage_codegen(spark):
