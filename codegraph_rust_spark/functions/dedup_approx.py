@@ -46,11 +46,14 @@ BAND_SIZE = 4  # 16 bands × 4 rows
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → h0..h{N_HASHES-1} minhash signature over word trigrams,
-    built in ONE groupBy (each hash = min of xxhash64(shingle, seed))."""
-    sh = _trigrams(spark, sf_dir)
+    built in ONE groupBy (each hash = min of xxhash64(shingle, seed)).
+    Shingle strings are pre-hashed to int64 so only 8-byte keys cross
+    the shuffle (re-hashing an int with a seed keeps the per-seed hash
+    families independent)."""
+    sh = _trigrams(spark, sf_dir).select("doc_id", F.xxhash64("sh").alias("shh"))
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64("shh", F.lit(i))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )

@@ -13,6 +13,7 @@ from . import chunking as ck
 from . import dedup_approx as da
 from . import graph as g
 from . import indexed as ix
+from . import multimodal as mm
 from . import relational as r
 from . import rerank as rr
 from . import textops as tx
@@ -64,6 +65,10 @@ REGISTRY: dict = {
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),
     "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
+    "ann_multiprobe": (rr.ann_multiprobe, rr.ANN_MULTIPROBE_SQL),
+    # multimodal (opaque binary payloads; decode stubbed, plumbing real)
+    "binary_payload_stats": (mm.binary_payload_stats, mm.BINARY_PAYLOAD_STATS_SQL),
+    "media_frame_features": (mm.media_frame_features, None),
     # similarity / vectors
     "knn_bruteforce": (tx.knn_bruteforce, tx.KNN_BRUTEFORCE_SQL),
     "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),

@@ -147,6 +147,97 @@ def ann_overfetch_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8  # 2^planes buckets: size with corpus (nlist-like knob; 16+ at web scale)
+_FLIPS = [0] + [1 << i for i in range(N_PLANES)]  # exact bucket + 16 one-bit probes
+
+
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: an N_PLANES-bit sign signature buckets the
+    vectors (2^N_PLANES buckets — the IVF-nlist-like knob, raised with
+    corpus size; 8 here so the tiny test SF shows real recall, 16+ at
+    web scale); the query probes its own bucket plus all one-bit
+    neighbors, then exact cosine ranks the union.  The scan side is one
+    equi-join on the int signature — at 10^12 vectors the probe set is
+    17 bucket lookups, not a corpus scan (the reference's 1M-vector
+    two-stage path, CHANGELOG.md:1079-1082, with Lv et al.'s multi-probe
+    trick from the public LSH literature)."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def sig_of(col: str):
+        s = F.lit(0)
+        for i in range(N_PLANES):
+            s = s + F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        return s
+
+    eb = e.select("vec_id", "embedding", sig_of("embedding").alias("sig"))
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("sig").alias("q_sig")
+    )
+    probes = q.select(
+        "q_emb",
+        "q_sig",
+        F.explode(F.array(*[F.lit(f) for f in _FLIPS])).alias("flip"),
+    ).select("q_emb", "q_sig", F.col("q_sig").bitwiseXOR(F.col("flip")).alias("probe"))
+    cand = eb.join(F.broadcast(probes), eb.sig == probes.probe)
+    dot = (
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> cast(x AS double) * cast(y AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    qnrm = (
+        "sqrt(aggregate(transform(q_emb, x -> cast(x AS double) * cast(x AS double)), "
+        "cast(0 AS double), (acc, v) -> acc + v))"
+    )
+    refined = cand.select(
+        "vec_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig"))).cast("int").alias(
+            "sig_hamming"
+        ),
+        F.round(F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("vec_id", "sig_hamming", "cosine", "rank")
+    )
+
+
+_SIG_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(N_PLANES)
+)
+
+ANN_MULTIPROBE_SQL = f"""
+WITH eb AS (
+  SELECT vec_id, embedding, ({_SIG_SQL}) AS sig FROM embeddings
+),
+q AS (SELECT embedding AS q_emb, sig AS q_sig FROM eb WHERE vec_id = 0),
+probes AS (
+  SELECT q.q_emb, q.q_sig, xor(q.q_sig, f.flip) AS probe
+  FROM q CROSS JOIN (SELECT unnest({_FLIPS}) AS flip) f
+),
+refined AS (
+  SELECT eb.vec_id,
+         cast(bit_count(cast(xor(eb.sig, p.q_sig) AS bigint)) AS int) AS sig_hamming,
+         round(
+           list_dot_product(cast(eb.embedding AS double[]), cast(p.q_emb AS double[]))
+           / (sqrt(list_dot_product(cast(eb.embedding AS double[]), cast(eb.embedding AS double[])))
+              * sqrt(list_dot_product(cast(p.q_emb AS double[]), cast(p.q_emb AS double[])))),
+           6) AS cosine
+  FROM eb JOIN probes p ON eb.sig = p.probe
+)
+SELECT vec_id, sig_hamming, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM refined ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+"""
+
+
 ANN_OVERFETCH_REFINE_SQL = f"""
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
 prox AS (

@@ -379,8 +379,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→intersect→ratio pattern (reference's trigram Jaccard
     similarity for symbols, indexer.rs:2883-2964, applied doc-level).
     Shingles with df > SHINGLE_DF_CAP are excluded (skew guard: the
-    self-join is quadratic per hot shingle)."""
-    raw = _trigrams(spark, sf_dir)
+    self-join is quadratic per hot shingle).  Shingles are hashed to
+    int64 BEFORE any shuffle — 8-byte join/group keys instead of
+    ~25-byte strings (collision odds ~n²/2^65: immaterial next to the
+    0.1 threshold)."""
+    raw = _trigrams(spark, sf_dir).select(
+        "doc_id", F.xxhash64("sh").alias("sh")
+    )
     hot = (
         raw.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("sh_df"))

