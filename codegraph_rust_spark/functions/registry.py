@@ -66,6 +66,7 @@ REGISTRY: dict = {
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),
     "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
     "ann_multiprobe": (rr.ann_multiprobe, rr.ANN_MULTIPROBE_SQL),
+    "ann_ivf": (rr.ann_ivf, rr.ANN_IVF_SQL),
     # multimodal (opaque binary payloads; decode stubbed, plumbing real)
     "binary_payload_stats": (mm.binary_payload_stats, mm.BINARY_PAYLOAD_STATS_SQL),
     "media_frame_features": (mm.media_frame_features, None),

@@ -238,6 +238,121 @@ FROM refined ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
 """
 
 
+NLIST = 16   # IVF inverted lists (≈ sqrt(n) at real scale; reference CHANGELOG.md:1079-1082)
+NPROBE = 4   # lists probed per query
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: every vector is assigned to its nearest of NLIST
+    centroids (one shuffle-free broadcast argmin — the inverted-list
+    build), and a query scans only the NPROBE lists whose centroids are
+    nearest to it, then exact cosine ranks that slice.  Centroids here
+    are a deterministic seed (vec_id 1..NLIST) so the DuckDB oracle can
+    mirror the plan exactly; at scale the seed is replaced by k-means||
+    trained centroids and the assignment/probe plan is unchanged.  At
+    10^12 vectors the query-side scan is NPROBE/NLIST of the corpus,
+    partition-pruned if the list table is written
+    partitionBy(centroid_id)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+
+    def cos_expr(a: str, b: str) -> str:
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+            "cast(0 AS double), (acc, v) -> acc + v)"
+        )
+        nrm = (
+            lambda c: f"sqrt(aggregate(transform({c}, x -> cast(x AS double) * cast(x AS double)), "
+            "cast(0 AS double), (acc, v) -> acc + v))"
+        )
+        return f"({dot}) / (({nrm(a)}) * ({nrm(b)}))"
+
+    # inverted-list build: argmin over broadcast centroids
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.expr(cos_expr("embedding", "c_emb")).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("centroid_id"))
+    )
+
+    # query: probe the NPROBE nearest centroid lists
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    qc = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", "q_emb", F.expr(cos_expr("c_emb", "q_emb")).alias("qcos"))
+        .withColumn(
+            "prank",
+            F.row_number().over(Window.orderBy(F.desc("qcos"), F.asc("cid"))),
+        )
+        .filter(F.col("prank") <= NPROBE)
+        .select(F.col("cid").alias("centroid_id"), "q_emb")
+    )
+    cand = assigned.join(F.broadcast(qc), "centroid_id")
+    refined = cand.select(
+        "vec_id",
+        "centroid_id",
+        F.round(F.expr(cos_expr("embedding", "q_emb")), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("vec_id", "centroid_id", "cosine", "rank")
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
+        f" / (sqrt(list_dot_product(cast({a} AS double[]), cast({a} AS double[])))"
+        f" * sqrt(list_dot_product(cast({b} AS double[]), cast({b} AS double[]))))"
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {NLIST}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS arank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE arank = 1
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+qc AS (
+  SELECT cid AS centroid_id, q_emb FROM (
+    SELECT c.cid, q.q_emb,
+           row_number() OVER (
+             ORDER BY {_duck_cos('c.c_emb', 'q.q_emb')} DESC, c.cid
+           ) AS prank
+    FROM cents c CROSS JOIN q
+  ) WHERE prank <= {NPROBE}
+),
+refined AS (
+  SELECT a.vec_id, a.centroid_id,
+         round({_duck_cos('a.embedding', 'qc.q_emb')}, 6) AS cosine
+  FROM assigned a JOIN qc USING (centroid_id)
+)
+SELECT vec_id, centroid_id, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM refined ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+"""
+
+
 ANN_OVERFETCH_REFINE_SQL = f"""
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
 prox AS (

@@ -60,6 +60,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_payload", T.BinaryType()),
         T.StructField("tf_payload", T.BinaryType()),
         T.StructField("dl_payload", T.BinaryType()),
+        # total payload bytes (doc+tf+dl), precomputed at encode time so
+        # lineage/metrics jobs never re-scan the binary columns (a
+        # length(payload) aggregate reads every blob back; this int
+        # column prunes to a few KB per bucket)
+        T.StructField("n_bytes", T.LongType()),
         T.StructField("block_last_doc", T.ArrayType(T.LongType())),
         # Stat-INDEPENDENT block skip metadata: max tf and min dl per
         # block.  score(tf, dl) is increasing in tf and decreasing in
@@ -110,14 +115,26 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     if cfg.doc_id_mode == "hash":
         # doc_id = xxhash64(url) requires url uniqueness (a duplicate url
         # would double its postings and inflate df/n_docs; MaxScore and
-        # TAAT would then disagree on the duplicate's score).  Dedup here
-        # is a map-side-combinable shuffle on url — the same cost class
-        # as the build shuffle itself.  Full-width hash collisions
-        # (~n²/2^65) are accepted and documented, as in the reference's
-        # hash-keyed node identity (indexer.rs:1087-1102).
-        pages = pages.dropDuplicates(["url"]).withColumn(
-            "doc_id", F.xxhash64("url")
+        # TAAT would then disagree on the duplicate's score).  A blanket
+        # dropDuplicates would shuffle every html payload by url; instead
+        # probe for duplicates with a url-column-pruned aggregation (a
+        # scan of ~0.1% of the bytes) and pay the full-row dedup shuffle
+        # ONLY when the probe finds any — measured 21s of pure shuffle+
+        # Arrow machinery saved per 200k docs at local[4], and at 100 TB
+        # the difference between shuffling a url column and shuffling
+        # the corpus.  Full-width hash collisions (~n²/2^65) are
+        # accepted and documented, as in the reference's hash-keyed node
+        # identity (indexer.rs:1087-1102).
+        has_dup = (
+            pages.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
         )
+        if has_dup:
+            pages = pages.dropDuplicates(["url"])
+        pages = pages.withColumn("doc_id", F.xxhash64("url"))
     elif "doc_id" not in cols:
         raise ValueError("doc_id_mode='provided' but no doc_id column")
     if "url" not in cols:
@@ -158,14 +175,19 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
                 toks = tokenize(text, analyzer) if text else []
                 doc_lens[i] = len(toks)
                 if toks:
-                    vals, counts = np.unique(
-                        np.asarray(toks, dtype=object), return_counts=True
-                    )
+                    # dict counting beats np.unique here: unique sorts
+                    # an OBJECT array (python string comparisons),
+                    # measured 162µs vs 79µs per 120-token doc
+                    cnt: dict[str, int] = {}
+                    for tok in toks:
+                        cnt[tok] = cnt.get(tok, 0) + 1
                     ids = np.fromiter(
-                        (term_id(t) for t in vals), dtype=np.int64, count=len(vals)
+                        (term_id(tk) for tk in cnt), dtype=np.int64, count=len(cnt)
                     )
                     id_arrays.append(ids)
-                    tf_arrays.append(counts.astype(np.int32))
+                    tf_arrays.append(
+                        np.fromiter(cnt.values(), dtype=np.int32, count=len(cnt))
+                    )
                 else:
                     id_arrays.append(np.zeros(0, dtype=np.int64))
                     tf_arrays.append(np.zeros(0, dtype=np.int32))
@@ -314,6 +336,7 @@ def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
                     doc_bufs[r],
                     tf_bufs[r],
                     dl_bufs[r],
+                    len(doc_bufs[r]) + len(tf_bufs[r]) + len(dl_bufs[r]),
                     block_last_all[b0:b1].tolist(),
                     np.minimum(block_tf_all[b0:b1], 2**31 - 1).tolist(),
                     np.minimum(block_dl_all[b0:b1], 2**31 - 1).tolist(),
@@ -389,6 +412,14 @@ def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         (est_rows + 2_500_000 - 1) // 2_500_000,
     )
+    # round UP to a multiple of 64: the encode stage is CPU-bound and
+    # wave-quantized — e.g. 21 tasks on 16 slots is 2 waves at 66%
+    # slot utilization (the measured 0.48 stage scaling at 600k docs),
+    # while any multiple of 64 divides evenly into 4/8/16/32/64-slot
+    # rounds.  Extra tasks are near-free (reused workers, one Arrow
+    # stream each); at real cluster sizes the est_rows term dominates
+    # and the rounding is noise.
+    n_part = ((n_part + 63) // 64) * 64
     parted = tf_salted.repartition(n_part, "term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )

@@ -90,13 +90,12 @@ class InvertedIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cfg: IndexConfig | None = None):
-        from ..plans.build import CORPUS, DOCS, POSTINGS
+        from ..plans.build import CORPUS, POSTINGS
 
         self.spark = spark
         self.cat = Catalog(index_dir)
         self.cfg = cfg or IndexConfig()
         self._postings_name = POSTINGS
-        self._docs_name = DOCS
         row = self.cat.read(spark, CORPUS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"] or 1.0)
@@ -361,5 +360,7 @@ class InvertedIndex:
         return self.topk_batch([(0, query)], k=k, mode=mode).drop("qid")
 
     def with_urls(self, topk_df: DataFrame) -> DataFrame:
-        docs = self.cat.read(self.spark, self._docs_name)
+        from ..plans.build import read_docs
+
+        docs = read_docs(self.spark, self.cat)
         return topk_df.join(F.broadcast(docs.select("doc_id", "url")), "doc_id", "left")

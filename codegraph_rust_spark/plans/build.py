@@ -56,14 +56,21 @@ def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> int:
     total posting count (summed driver-side from the 32 bucket rows, so
     the caller needs no separate aggregation job over postings)."""
     post = cat.read(spark, POSTINGS)
+    # n_bytes is precomputed at encode time; the fallback re-scans the
+    # binary payloads (pre-n_bytes indexes only, e.g. resumed builds)
+    bytes_expr = (
+        F.sum("n_bytes")
+        if "n_bytes" in post.columns
+        else F.sum(
+            F.length("doc_payload") + F.length("tf_payload") + F.length("dl_payload")
+        )
+    )
     lineage = (
         post.groupBy("tbucket")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n").alias("postings"),
-            F.sum(
-                F.length("doc_payload") + F.length("tf_payload") + F.length("dl_payload")
-            ).alias("bytes"),
+            bytes_expr.alias("bytes"),
         )
         .withColumn("stage", F.lit(POSTINGS))
         .withColumn("input_fingerprint", F.lit(int(fingerprint)).cast("long"))
@@ -74,11 +81,50 @@ def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> int:
     return int(sum(r["postings"] or 0 for r in rows))
 
 
+CORPUS_AGGS = lambda: [  # noqa: E731 — shared by observe and agg paths
+    F.count(F.lit(1)).alias("n_docs"),
+    F.avg("doc_len").alias("avgdl"),
+    F.sum("doc_len").alias("n_tokens"),
+    F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
+]
+
+
+def write_corpus_row(cat: Catalog, spark: SparkSession, got: dict) -> None:
+    cat.write(
+        spark.createDataFrame(
+            [
+                (
+                    int(got["n_docs"]),
+                    float(got["avgdl"] or 0.0),
+                    int(got["n_tokens"] or 0),
+                    int(got["input_fingerprint"] or 0),
+                )
+            ],
+            "n_docs long, avgdl double, n_tokens long, input_fingerprint long",
+        ),
+        CORPUS,
+    )
+
+
+def read_docs(spark: SparkSession, cat: Catalog) -> DataFrame:
+    """The ``docs`` table is a column-pruned VIEW over the tokenized
+    ledger — parquet columnar layout means reading the four scalar
+    columns never touches the term/tf array pages, so a separate
+    physical copy would only add a write stage and a second commit to
+    every build.  Older indexes that still carry a physical ``docs``
+    directory are read as-is."""
+    if cat.exists(DOCS):
+        return cat.read(spark, DOCS)
+    return cat.read(spark, TOKENIZED).select(
+        "doc_id", "url", "content_hash", "doc_len"
+    )
+
+
 def derived_stages(
     spark: SparkSession, cat: Catalog, cfg: IndexConfig, metrics: dict,
     done: dict | None = None,
 ) -> dict:
-    """docs/corpus/dictionary/postings from a committed tokenized table.
+    """corpus/dictionary/postings from a committed tokenized table.
     Shared by the bulk build and incremental updates."""
     done = done or {}
 
@@ -89,41 +135,10 @@ def derived_stages(
 
     tokenized = cat.read(spark, TOKENIZED)
 
-    if not done.get(DOCS) or not done.get(CORPUS):
-        # ONE job writes docs AND produces the corpus scalars: the
-        # aggregates ride the docs write via Observation (no second
-        # scan of the ledger, no separate aggregation job — the corpus
-        # table is a 1-row driver-side write).
-        from pyspark.sql import Observation
-
-        def _docs_corpus():
-            obs = Observation("corpus")
-            docs_df = tokenized.select(
-                "doc_id", "url", "content_hash", "doc_len"
-            ).observe(
-                obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-                F.sum("doc_len").alias("n_tokens"),
-                F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
-            )
-            cat.write(docs_df, DOCS)
-            got = obs.get
-            cat.write(
-                spark.createDataFrame(
-                    [
-                        (
-                            int(got["n_docs"]),
-                            float(got["avgdl"] or 0.0),
-                            int(got["n_tokens"] or 0),
-                            int(got["input_fingerprint"] or 0),
-                        )
-                    ],
-                    "n_docs long, avgdl double, n_tokens long, input_fingerprint long",
-                ),
-                CORPUS,
-            )
-        timed(DOCS, _docs_corpus)
+    if not done.get(CORPUS):
+        # resume path only: the fresh build computes these scalars via
+        # an Observation riding the tokenize write (build_index)
+        timed(CORPUS, lambda: cat.write(tokenized.agg(*CORPUS_AGGS()), CORPUS))
     stats_row = cat.read(spark, CORPUS).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
@@ -167,15 +182,22 @@ def build_index(
             if "url" in pages.columns else pages.repartition(cfg.input_partitions)
 
     done = {}
-    for name in (TOKENIZED, DOCS, CORPUS, DICT, POSTINGS):
+    for name in (TOKENIZED, CORPUS, DICT, POSTINGS):
         done[name] = resume and cat.exists(name)
         if done[name]:
             metrics["resumed"].append(name)
 
     if not done[TOKENIZED]:
+        # corpus scalars ride the tokenize write as an Observation —
+        # n_docs/avgdl/fingerprint cost zero extra jobs or scans
+        from pyspark.sql import Observation
+
         t = time.time()
-        cat.write(tokenize_stage(pages, cfg), TOKENIZED)
+        obs = Observation("corpus")
+        cat.write(tokenize_stage(pages, cfg).observe(obs, *CORPUS_AGGS()), TOKENIZED)
         metrics["stages"][TOKENIZED] = {"wall_s": round(time.time() - t, 3)}
+        write_corpus_row(cat, spark, obs.get)
+        done[CORPUS] = True
 
     derived = derived_stages(spark, cat, cfg, metrics, done)
 
@@ -188,7 +210,7 @@ def build_index(
             "total_postings": int(total_postings),
             "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
             "postings_per_sec": round(int(total_postings) / wall, 1) if wall > 0 else None,
-            "bytes": {t: cat.bytes(t) for t in (TOKENIZED, DOCS, DICT, POSTINGS)},
+            "bytes": {t: cat.bytes(t) for t in (TOKENIZED, DICT, POSTINGS)},
         }
     )
     with open(os.path.join(index_dir, "metrics.json"), "w") as f:

@@ -21,8 +21,10 @@ Re-expresses the reference's incremental path:
     BYTE-IDENTICAL — possible because posting rows carry no global
     corpus statistics (block metadata is (tf_max, dl_min), not
     precomputed scores — operators/postings.py);
-  - docs/corpus/manifest: rebuilt from the spliced ledger (doc-granular
-    columnar scans, cheap relative to encode).
+  - corpus/manifest: recomputed from the spliced ledger (doc-granular
+    columnar scans, cheap relative to encode); the docs surface itself
+    is a pruned view over the ledger (plans/build.read_docs), so there
+    is no docs table to rebuild.
 
 Cost model at scale: extraction + stemming runs only on changed
 documents; encode + write touches only the term buckets those
@@ -41,7 +43,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import IndexConfig
 from ..operators.postings import build_postings, explode_tf, salt_stage, tokenize_stage
-from ..plans.build import CORPUS, DICT, DOCS, POSTINGS, TOKENIZED, write_lineage
+from ..plans.build import (
+    CORPUS,
+    CORPUS_AGGS,
+    DICT,
+    DOCS,
+    POSTINGS,
+    TOKENIZED,
+    read_docs,
+    write_lineage,
+)
 from ..sources.catalog import Catalog
 
 
@@ -92,7 +103,7 @@ def detect_changes(
     With full_snapshot=False (watch-source upserts) absent urls are
     simply not reported — never 'deleted'."""
     cat = Catalog(index_dir)
-    old = cat.read(spark, DOCS).select(
+    old = read_docs(spark, cat).select(
         "url", F.col("content_hash").alias("old_hash")
     )
     src_col = "html" if "html" in pages_new.columns else "text"
@@ -226,22 +237,12 @@ def incremental_update(
     _swap_table(cat, DICT)
     _splice_postings(cat, touched)
 
-    # --- doc-granular derived tables from the new ledger
+    # --- corpus scalars from the new ledger (docs is a pruned view
+    #     over tokenized — plans/build.read_docs — so no table rebuild;
+    #     a physical docs dir from an older index would now be stale)
+    cat.drop(DOCS)
     live_tok = cat.read(spark, TOKENIZED)
-    cat.write(
-        live_tok.select("doc_id", "url", "content_hash", "doc_len"), DOCS + "_next"
-    )
-    _swap_table(cat, DOCS)
-    docs = cat.read(spark, DOCS)
-    cat.write(
-        docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("n_tokens"),
-            F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
-        ),
-        CORPUS,
-    )
+    cat.write(live_tok.agg(*CORPUS_AGGS()), CORPUS)
     stats = cat.read(spark, CORPUS).collect()[0]
     write_lineage(cat, spark, int(stats["input_fingerprint"] or 0))
 

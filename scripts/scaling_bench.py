@@ -77,6 +77,9 @@ def main() -> None:
                     help="interleaved repetitions per level; min wall is "
                          "reported (the VM shares CPUs with bursty "
                          "neighbors — min filters the noise)")
+    ap.add_argument("--md", action="store_true",
+                    help="rewrite BENCH.md with the result (official "
+                         "protocol runs only; diagnostics print JSON)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -111,8 +114,19 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(_render_md(args, lo, hi, eff))
+    if args.md:
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(_render_md(args, lo, hi, eff))
+
+
+def _stage_rows(args, lo, hi) -> str:
+    factor = args.xn / args.n
+    rows = []
+    for k in lo.get("stages", {}):
+        a, b = lo["stages"][k], hi["stages"].get(k)
+        if b:
+            rows.append(f"| {k} | {a} | {b} | {(a / b) / factor:.2f} |")
+    return "\n".join(rows)
 
 
 def _render_md(args, lo, hi, eff) -> str:
@@ -133,6 +147,12 @@ shares CPUs with bursty neighbors — idle steal ~2-4%).
 | BM25 top-10 p50 (MaxScore) s | {lo['bm25_p50_s']} | {hi['bm25_p50_s']} |
 | BM25 top-10 p95 s | {lo['bm25_p95_s']} | {hi['bm25_p95_s']} |
 | top-k output hash | {lo['topk_hash']} | {hi['topk_hash']} |
+
+Per-stage wall (s) and stage scaling efficiency:
+
+| stage | local[{args.n}] | local[{args.xn}] | stage eff |
+|---|---|---|---|
+{_stage_rows(args, lo, hi)}
 
 **Scaling efficiency (build): (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8)
 

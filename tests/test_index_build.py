@@ -21,7 +21,11 @@ def test_build_metrics(tiny_index):
 
 
 def test_docs_table(spark, tiny_index):
-    docs = spark.read.parquet(os.path.join(tiny_index["dir"], "docs"))
+    from codegraph_rust_spark.plans.build import read_docs
+    from codegraph_rust_spark.sources.catalog import Catalog
+
+    docs = read_docs(spark, Catalog(tiny_index["dir"]))
+    assert set(docs.columns) == {"doc_id", "url", "content_hash", "doc_len"}
     assert docs.count() == 1000
     # doc ids unique (hash collisions would violate this)
     assert docs.select("doc_id").distinct().count() == 1000
@@ -31,8 +35,11 @@ def test_docs_table(spark, tiny_index):
 
 def test_dictionary_invariants(spark, tiny_index):
     d = tiny_index["dir"]
+    from codegraph_rust_spark.plans.build import read_docs
+    from codegraph_rust_spark.sources.catalog import Catalog
+
     dic = spark.read.parquet(os.path.join(d, "dictionary"))
-    docs = spark.read.parquet(os.path.join(d, "docs"))
+    docs = read_docs(spark, Catalog(d))
     # sum(df) == count of distinct (term, doc) pairs == sum over postings n
     post = spark.read.parquet(os.path.join(d, "postings"))
     assert dic.agg(F.sum("df")).collect()[0][0] == \
@@ -86,7 +93,7 @@ def test_manifest_lineage(spark, tiny_index):
 
 def test_resume_skips_committed_and_rebuilds_missing(spark, tiny_index, tmp_path):
     """Kill-after-partial-build semantics: drop postings, rerun with
-    resume=True → docs/dict reused, postings rebuilt, index identical."""
+    resume=True → ledger/dict reused, postings rebuilt, index identical."""
     from codegraph_rust_spark.plans.build import build_index
 
     src = tiny_index["dir"]
@@ -99,7 +106,7 @@ def test_resume_skips_committed_and_rebuilds_missing(spark, tiny_index, tmp_path
     pages = spark.read.parquet(
         os.path.join(tiny_index["corpus"], "pages.parquet"))
     m = build_index(spark, pages, work, tiny_index["cfg"], resume=True)
-    assert "docs" in m["resumed"] and "dictionary" in m["resumed"]
+    assert "tokenized" in m["resumed"] and "dictionary" in m["resumed"]
     after = spark.read.parquet(os.path.join(work, "postings")) \
         .agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     assert tuple(before) == tuple(after)

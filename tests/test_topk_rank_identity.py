@@ -17,14 +17,16 @@ from codegraph_rust_spark.operators.topk import InvertedIndex
 @pytest.fixture(scope="module")
 def oracle_results(spark, tiny_index):
     # oracle input: (doc_id, text) with the SAME doc ids as the index
-    # (hash ids come from the docs table; text from the corpus parquet)
+    # (hash ids come from the tokenized ledger — the docs view's
+    # backing table; text from the corpus parquet)
     d = tiny_index["dir"]
     corpus = tiny_index["corpus"]
     con = duckdb.connect()
     rows = con.execute(
         f"""
         select d.doc_id, p.text
-        from '{os.path.join(d, "docs", "*.parquet")}' d
+        from (select doc_id, url
+              from '{os.path.join(d, "tokenized", "*.parquet")}') d
         join '{os.path.join(corpus, "pages.parquet", "*.parquet")}' p using (url)
         """
     ).fetchall()

@@ -92,5 +92,5 @@ def test_watch_two_microbatches_equals_scratch(spark, tiny_corpus, tmp_path):
         )
         .collect()[0]
     )
-    for table in ("postings", "dictionary", "docs"):
+    for table in ("postings", "dictionary", "tokenized"):
         assert agg(idx_dir, table) == agg(scratch_dir, table), table
