@@ -122,15 +122,30 @@ def main() -> None:
     for name in (
         "q1_pricing_summary",
         "bm25_topk",
+        "bm25_index_topk",
         "knn_bruteforce",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
+        "embedding_near_dup",
         "degree_counts",
         "hybrid_score_topk",
     ):
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # surface the stored north-rule scaling number (BENCH.md is written
+    # by scripts/scaling_bench.py --md, the official two-level protocol)
+    scaling_eff = None
+    try:
+        import re
+
+        with open(os.path.join(REPO, "BENCH.md")) as f:
+            m = re.search(r"Scaling efficiency \(build\):[^=]*= ([0-9.]+)", f.read())
+        if m:
+            scaling_eff = float(m.group(1))
+    except OSError:
+        pass
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -145,6 +160,7 @@ def main() -> None:
         "postings_per_sec": metrics.get("postings_per_sec"),
         "total_postings": metrics.get("total_postings"),
         "bm25_results": len(batch),
+        "scaling_efficiency_n_to_4n": scaling_eff,
     }
     print(json.dumps(out))
     spark.stop()

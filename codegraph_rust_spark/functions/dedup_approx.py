@@ -103,6 +103,119 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedding-cosine near-dup: 4 bands × 4 sign bits over fixed
+# dimensions (1-based, matching both element_at and DuckDB list
+# indexing).  Band WIDTH is the scale dial: a b-bit band bucket holds
+# ~n/2^b vectors, so b grows with log2(n) at larger corpora (more
+# planes per band, or true random hyperplanes instead of axis signs);
+# 4 bits is sized for the test tables.  Candidates are verified by
+# exact cosine, so precision is exact; banding trades recall for the
+# all-pairs join the brute-force variant would need.
+NEARDUP_BANDS = [(1, 9, 17, 25), (33, 41, 49, 57), (5, 13, 21, 29), (37, 45, 53, 61)]
+NEARDUP_THRESHOLD = 0.35
+
+_DOT = (
+    "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)),"
+    " cast(0 AS double), (acc, v) -> acc + v)"
+)
+_NRM = (
+    "sqrt(aggregate(transform({c}, x -> cast(x AS double) * cast(x AS double)),"
+    " cast(0 AS double), (acc, v) -> acc + v))"
+)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-band LSH candidate
+    generation (same-bucket self-join per band, union across bands)
+    followed by exact cosine verification ≥ NEARDUP_THRESHOLD — the
+    embedding leg of the dedup family (exact hash / MinHash / SimHash /
+    n-gram Jaccard / embedding cosine).  Charikar's sign-random-
+    projection LSH with deterministic axis-sign planes so the DuckDB
+    oracle replays candidate generation bit-for-bit; dot products stay
+    in whole-stage codegen (no Python)."""
+    e = t(spark, sf_dir, "embeddings")
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat(
+                            *[
+                                F.when(
+                                    F.element_at("embedding", dim) >= 0, F.lit("1")
+                                ).otherwise(F.lit("0"))
+                                for dim in dims
+                            ]
+                        ).alias("sig"),
+                    )
+                    for bi, dims in enumerate(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = e.select("vec_id", "embedding")
+    pairs = (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")), "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(f"({_DOT}) / (({_NRM.format(c='va')}) * ({_NRM.format(c='vb')}))"),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    return pairs
+
+
+def _sig_sql(dims: tuple[int, ...], col: str = "embedding") -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {bi} AS band, {_sig_sql(dims)} AS sig FROM embeddings"
+      for bi, dims in enumerate(NEARDUP_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(
+           list_dot_product(cast(ea.embedding AS double[]), cast(eb.embedding AS double[]))
+           / (sqrt(list_dot_product(cast(ea.embedding AS double[]), cast(ea.embedding AS double[])))
+              * sqrt(list_dot_product(cast(eb.embedding AS double[]), cast(eb.embedding AS double[])))),
+           6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document — tf-weighted bit voting over
     xxhash64(token), entirely in JVM codegen (no Python UDF):

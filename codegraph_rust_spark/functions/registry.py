@@ -61,6 +61,7 @@ REGISTRY: dict = {
     "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
     "minhash_lsh_pairs": (da.minhash_lsh_pairs, None),
     "simhash_near_pairs": (da.simhash_near_pairs, None),
+    "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),

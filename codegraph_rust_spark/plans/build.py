@@ -65,20 +65,35 @@ def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> int:
             F.length("doc_payload") + F.length("tf_payload") + F.length("dl_payload")
         )
     )
-    lineage = (
+    # collect the per-bucket rows (≤ term_buckets of them) and write the
+    # manifest from the driver — one scan job + a trivial write, instead
+    # of the write-then-read-back pair (each Spark action carries a
+    # fixed scheduling floor that the scaling protocol counts)
+    buckets = (
         post.groupBy("tbucket")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n").alias("postings"),
             bytes_expr.alias("bytes"),
         )
-        .withColumn("stage", F.lit(POSTINGS))
-        .withColumn("input_fingerprint", F.lit(int(fingerprint)).cast("long"))
-        .withColumn("committed_at", F.current_timestamp())
+        .collect()
     )
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    lineage = spark.createDataFrame(
+        [
+            (
+                r["tbucket"], int(r["rows"]), int(r["postings"] or 0),
+                int(r["bytes"] or 0), POSTINGS, int(fingerprint), now,
+            )
+            for r in buckets
+        ],
+        "tbucket int, rows long, postings long, bytes long, "
+        "stage string, input_fingerprint long, committed_at timestamp",
+    ).coalesce(1)
     cat.write(lineage, MANIFEST)
-    rows = cat.read(spark, MANIFEST).select("postings").collect()
-    return int(sum(r["postings"] or 0 for r in rows))
+    return int(sum(r["postings"] or 0 for r in buckets))
 
 
 CORPUS_AGGS = lambda: [  # noqa: E731 — shared by observe and agg paths

@@ -138,9 +138,19 @@ parallelism levels (sandbox substitute for N vs 4N executors).
 Interleaved repetitions; min wall per level reported (the sandbox VM
 shares CPUs with bursty neighbors — idle steal ~2-4%).
 
+Each spark-submit invocation builds the index twice: build 1 pays the
+per-SESSION floors (Janino/whole-stage-codegen compilation of each
+distinct plan shape, shuffle + compression-codec init, Python-worker
+spawn — measured 5-12s per plan shape, identical at both levels);
+build 2 is the steady-state wall the efficiency is computed from.  A
+long-lived cluster running a 100 TB build pays those floors once per
+executor lifetime, not per job — cold walls are reported alongside so
+the floor is visible, not hidden.
+
 | metric | local[{args.n}] (N) | local[{args.xn}] (4N) |
 |---|---|---|
-| index build wall (s) | {lo['build_s']} | {hi['build_s']} |
+| index build wall, steady-state (s) | {lo['build_s']} | {hi['build_s']} |
+| index build walls, cold→warm (s) | {lo.get('build_walls')} | {hi.get('build_walls')} |
 | docs/sec | {lo['docs_per_sec']} | {hi['docs_per_sec']} |
 | postings/sec | {lo['postings_per_sec']} | {hi['postings_per_sec']} |
 | BM25 batch (all queries, TAAT) s | {lo['bm25_batch_s']} | {hi['bm25_batch_s']} |
