@@ -41,6 +41,16 @@ class IndexConfig:
     # parquet file arrives as one split)
     input_partitions: int = 0
 
+    # big-document-first scheduling (reference parser.rs:105-107 sorts
+    # its parse queue by file size desc to cut tail latency): when True,
+    # the tokenize input is range-partitioned on payload length DESC, so
+    # the heaviest partitions are scheduled first and the small ones
+    # backfill the final wave — LPT scheduling at partition granularity.
+    # Off by default: with hash partitioning each task already gets a
+    # uniform size MIX, which is better when doc sizes are i.i.d.; turn
+    # this on for corpora with heavy size skew (few giant pages).
+    schedule_big_first: bool = False
+
     extra: dict = field(default_factory=dict)
 
 

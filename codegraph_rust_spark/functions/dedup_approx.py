@@ -38,7 +38,7 @@ from operator import add
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import t
-from .textops import _TOKS, _trigrams
+from .textops import _TOKS, NGRAM_JACCARD_SQL, _trigrams
 
 N_HASHES = 64
 BAND_SIZE = 4  # 16 bands × 4 rows
@@ -251,6 +251,90 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sim, "doc_id", "left")
         .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
+
+
+CC_ITERS = 4  # pointer-doubling rounds: reaches components of diameter 2^4
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the exact
+    n-gram-Jaccard candidate pair graph (edges = ngram_jaccard_pairs,
+    jaccard ≥ 0.1) — the step a training-data pipeline actually needs
+    after pair generation: pick one canonical doc per duplicate cluster
+    (component id = min doc_id in the component).
+
+    Min-label propagation with pointer doubling: each round first takes
+    the min label over neighbors, then replaces every label by the
+    label OF its label (comp[v] ← comp[comp[v]]), so reach doubles per
+    round — CC_ITERS=4 covers diameter 2⁴, plenty for near-dup clusters
+    (typical diameter 1-3; at planetary scale swap in the
+    alternating-star algorithm of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — same DataFrame surface).
+    Only docs that appear in at least one pair are emitted (singletons
+    are their own trivial component).
+
+    Lineage is truncated (localCheckpoint) on the pair set and on every
+    round's label table: without it the self-referencing loop embeds
+    3^rounds copies of the candidate-join subtree in one plan — the
+    optimizer re-plans (and the broadcast pool re-builds) each copy,
+    which is exponential planning work and unbounded driver memory.  On
+    a real cluster swap localCheckpoint for checkpoint(reliable) so
+    executor loss cannot drop iteration state."""
+    from .textops import ngram_jaccard_pairs
+
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    # undirected adjacency
+    adj = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    for _ in range(CC_ITERS):
+        # 1) min over neighbors' labels (and own)
+        nbr = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .select(F.col("doc_a").alias("doc_id"), "comp")
+        )
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # 2) pointer doubling: comp[v] ← comp[comp[v]]
+        parent = labels.select(
+            F.col("doc_id").alias("comp"), F.col("comp").alias("comp2")
+        )
+        labels = (
+            labels.join(parent, "comp", "left")
+            .select("doc_id", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("doc_id", F.col("comp").alias("component"))
+
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL}) jp
+),
+edges AS (
+  SELECT doc_a AS v, doc_b AS u FROM pairs
+  UNION ALL
+  SELECT doc_b AS v, doc_a AS u FROM pairs
+),
+reach(v, u) AS (
+  SELECT v, v AS u FROM (SELECT DISTINCT v FROM edges)
+  UNION
+  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+)
+SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v
+"""
 
 
 def _band_specs(d: int) -> list[tuple[int, int]]:

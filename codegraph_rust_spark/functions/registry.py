@@ -62,6 +62,7 @@ REGISTRY: dict = {
     "minhash_lsh_pairs": (da.minhash_lsh_pairs, None),
     "simhash_near_pairs": (da.simhash_near_pairs, None),
     "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
+    "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),

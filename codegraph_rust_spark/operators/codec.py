@@ -321,6 +321,102 @@ def delta_encode_runs(doc_ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------- batched run decoding
+#
+# The SPIMI merge stage receives MILLIONS of small partial posting
+# buffers per task; decoding them one ``decode_u32/u64`` call at a time
+# pays ~15µs of numpy dispatch per buffer — these decode every buffer
+# of a task in ONE vectorized pass over the concatenation.
+
+def _segmented_positions(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """offsets (len+1 cumsum) and a flat index that enumerates
+    0..counts[i] within each segment i."""
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    total = int(offs[-1])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+    return offs, idx
+
+
+def decode_runs(bufs: list, itemsize: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of split-layout Group-VarInt buffers (all u32 or
+    all u64 by `itemsize`) in one vectorized pass.
+
+    Returns (values, run_offsets): ``values[run_offsets[r]:
+    run_offsets[r+1]]`` are buffer r's decoded values."""
+    nruns = len(bufs)
+    if nruns == 0:
+        dtype = np.uint32 if itemsize == 4 else np.uint64
+        return np.zeros(0, dtype=dtype), np.zeros(1, dtype=np.int64)
+    blens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nruns)
+    boffs, _ = _segmented_positions(blens)
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return decode_runs_flat(cat, boffs, itemsize)
+
+
+def decode_runs_flat(
+    cat: np.ndarray, boffs: np.ndarray, itemsize: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``decode_runs`` over an ALREADY-CONCATENATED uint8 buffer with
+    run boundaries `boffs` (len nruns+1) — zero-copy entry point for
+    Arrow BinaryArray (values buffer + offsets), so the merge stage
+    never materializes per-row ``bytes`` objects."""
+    dtype = np.uint32 if itemsize == 4 else np.uint64
+    psz = 1 if itemsize == 4 else 2
+    if len(boffs) <= 1:
+        return np.zeros(0, dtype=dtype), np.zeros(1, dtype=np.int64)
+    heads = np.asarray(boffs[:-1], dtype=np.int64)
+    ns = (
+        cat[heads].astype(np.int64)
+        | (cat[heads + 1].astype(np.int64) << 8)
+        | (cat[heads + 2].astype(np.int64) << 16)
+        | (cat[heads + 3].astype(np.int64) << 24)
+    )
+    ngroups = (ns + 3) // 4
+    # gather all prefix bytes (psz*ngroups per run, at head+4)
+    pre_counts = ngroups * psz
+    poffs, pidx = _segmented_positions(pre_counts)
+    pre_src = np.repeat(heads + 4, pre_counts) + pidx
+    prefix_bytes = cat[pre_src]
+    if itemsize == 4:
+        lens = _LEN4_U32[prefix_bytes].reshape(-1)
+    else:
+        pre16 = prefix_bytes.view(np.uint16) if prefix_bytes.flags.c_contiguous \
+            else np.ascontiguousarray(prefix_bytes).view(np.uint16)
+        lens = _LEN4_U64[pre16 & 0x0FFF].reshape(-1)
+    # per-value payload offsets, segmented per run
+    nvals_padded = ngroups * 4
+    voffs, _ = _segmented_positions(nvals_padded)
+    lens_cum = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=lens_cum[1:])
+    run_payload_base = np.repeat(lens_cum[voffs[:-1]], nvals_padded)
+    within = lens_cum[:-1] - run_payload_base
+    payload_src = np.repeat(heads + 4 + pre_counts, nvals_padded) + within
+    vals = np.zeros(len(lens), dtype=dtype)
+    for i in range(itemsize):
+        mask = lens > i
+        vals[mask] |= cat[payload_src[mask] + i].astype(dtype) << dtype(8 * i)
+    # strip per-run group padding
+    out_offs, oidx = _segmented_positions(ns)
+    out = vals[np.repeat(voffs[:-1], ns) + oidx]
+    return out, out_offs
+
+
+def delta_decode_runs(gaps: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inverse of ``delta_encode_runs``: cumulative-sum gaps with the
+    chain RESTARTING at each starts[r] (whose gap holds the absolute
+    value)."""
+    n = len(gaps)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    c = np.cumsum(gaps.astype(np.uint64))
+    base = np.zeros(len(starts), dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    lens = np.diff(np.append(starts, n))
+    return (c - np.repeat(base, lens)).astype(np.int64)
+
+
 # ------------------------------------------------------------- delta coding
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:

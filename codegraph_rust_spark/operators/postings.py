@@ -15,17 +15,15 @@ schema/codegraph.surql:933).  Here the index is explicit DataFrames:
 * ``explode_tf``      — JVM-side ``arrays_zip`` + ``explode``.
 * ``dictionary_stage``— term_id → (df, cf): the terms sub-store (the
   analyzer+hash chain IS the term→id mapping at build and query).
-* ``salt_stage``      — explicit head-term skew split: terms with
-  df > threshold get salt = doc_id mod n_salts, so no single
-  applyInPandas group exceeds ~threshold entries (north-rule skew
-  handling; analog of the reference's bounded chunk sizes,
-  crates/codegraph-mcp/src/indexer.rs:1788).
-* ``build_postings``  — per (term_id, salt) group: sort by doc_id,
-  delta + Group-VarInt encode doc ids, Group-VarInt tf and doc-length
-  streams, and precompute block-max partial BM25 scores for WAND-family
-  skipping.  Exact scores are recomputable at query time from (tf, dl)
-  — no doc-length forward array is needed (doc_lengths sub-store is
-  inlined into the posting payloads).
+* ``build_postings``  — SPIMI-merge: per-partition PARTIAL posting
+  runs are sorted, salted (head-term skew split: salt = doc_id mod
+  n_salts(df) from a collected head map — north-rule skew handling,
+  analog of the reference's bounded chunk sizes, indexer.rs:1788) and
+  Group-VarInt-encoded BEFORE the shuffle, so the posting exchange
+  carries ~2 bytes/posting; a term-sharded merge batch-decodes, merges
+  by doc id, and writes final rows with block-max (tf_max, dl_min)
+  skip metadata.  Exact scores are recomputable at query time from
+  (tf, dl) — doc lengths are inlined into the posting payloads.
 """
 
 from __future__ import annotations
@@ -37,7 +35,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..config import IndexConfig
 from ..textkit.extract import extract_batch
 from ..textkit.tokenizer import tokenize
-from .codec import delta_encode_runs, encode_runs
+from .codec import (
+    decode_runs_flat,
+    delta_decode_runs,
+    delta_encode_runs,
+    encode_runs,
+)
 from .xxhash import xxh64_str
 
 TOKENIZED_SCHEMA = T.StructType(
@@ -237,113 +240,75 @@ def dictionary_stage(tf: DataFrame) -> DataFrame:
     )
 
 
-def salt_stage(tf: DataFrame, dictionary: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Attach global df and a skew-splitting salt to each tf row.
+PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("doc_payload", T.BinaryType()),
+        T.StructField("tf_payload", T.BinaryType()),
+        T.StructField("dl_payload", T.BinaryType()),
+    ]
+)
 
-    Head terms (df > salt_df_threshold) are split into n_salts_expr(df)
-    power-of-two shards; every other term gets salt 0.  The salt
-    function is doc_id mod n_salts — trivially reproducible inside
-    numpy at query time (unlike a JVM-only hash) and uniform because
-    hash doc ids are uniform.
+
+def head_term_map(dictionary: DataFrame, cfg: IndexConfig):
+    """Collect the HEAD term set (df > salt_df_threshold) with its
+    n_salts — the only globally-shared state the partial encoder needs.
+    Zipf guarantees this set is tiny relative to the vocabulary (the
+    threshold is chosen so a shard ≈ salt_df_threshold postings), so it
+    ships to workers as two sorted numpy arrays inside the UDF closure
+    — the scalable replacement for joining the FULL dictionary onto
+    every tf row (which at web scale is a second corpus-sized shuffle).
     """
-    dict_small = dictionary.select(
-        "term_id", "df", n_salts_expr(F.col("df"), cfg).alias("n_salts")
+    rows = (
+        dictionary.filter(F.col("df") > cfg.salt_df_threshold)
+        .select("term_id", n_salts_expr(F.col("df"), cfg).alias("n_salts"))
+        .collect()
     )
-    joined = tf.join(dict_small, "term_id")
-    return joined.withColumn(
-        "salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int")
-    ).drop("n_salts")
+    tids = np.array(sorted(int(r["term_id"]) for r in rows), dtype=np.int64)
+    ns_by = {int(r["term_id"]): int(r["n_salts"]) for r in rows}
+    nsalts = np.array([ns_by[int(t)] for t in tids], dtype=np.int64)
+    return tids, nsalts
 
 
-def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
-                   est_rows: int | None = None) -> DataFrame:
-    """(term_id, salt) groups → compressed posting rows with block
-    skip metadata.
+def encode_partials(
+    tokenized: DataFrame,
+    head_tids: np.ndarray,
+    head_nsalts: np.ndarray,
+    cfg: IndexConfig,
+    tbuckets: list[int] | None = None,
+) -> DataFrame:
+    """Per-partition SPIMI pass: tokenized doc rows → PARTIAL posting
+    runs, encoded (delta + Group-VarInt) BEFORE the shuffle.
 
-    SPIMI formulation: shuffle once on (term_id, salt), sort within
-    partitions by (term_id, salt, doc_id), then stream each partition
-    through ONE ``mapInPandas`` pass that slices term runs with numpy
-    boundary detection — thousands of terms per Arrow batch, no
-    per-group pandas overhead (an earlier per-term ``applyInPandas``
-    version spent milliseconds of pure overhead on every tiny tail
-    term; with web-scale Zipf vocabularies almost all terms are tail).
-    Doc ids arrive pre-sorted from the shuffle sort, so encoding is a
-    straight sweep.
+    This is the classic SPIMI block build: each worker sorts a bounded
+    chunk of its partition's (term, salt, doc) postings and emits one
+    compressed partial list per run.  The shuffle that follows carries
+    ~2 bytes/posting instead of a ~48-byte Tungsten row/posting — at
+    10^12 documents the posting exchange is the single largest data
+    movement of the build, and this is the 25× lever on it.
 
-    Delta chains RESTART at every block boundary (first doc id of each
-    block is stored absolute), so a block is decodable without touching
-    the blocks before it — together with the split-layout prefix
-    stream this gives true block-granular random access for
-    MaxScore/BMW probes (operators/topk.py).  Block metadata is
-    (tf_max, dl_min) per block — stat-independent, see POSTINGS_SCHEMA.
+    ``mapInArrow``, not ``mapInPandas``: the (term_ids, tfs) list
+    columns arrive as Arrow ListArrays whose FLAT values buffer is
+    lifted zero-copy into numpy (list_flatten + list_value_length) —
+    no per-document Python array objects, no JVM explode; the build is
+    doc-major until the in-worker sort.  Memory traffic is the VM's
+    scarcest resource (measured: per-worker numpy throughput drops
+    2-3.5× when 16 workers stream concurrently), so every avoided copy
+    shows up directly in the scaling curve.
 
-    Memory: salting caps every (term_id, salt) run at roughly
-    salt_df_threshold entries, so the carry buffer between Arrow
-    batches stays bounded regardless of term skew (the north rule's
-    build-side skew handling).
+    Skew: head terms are salt-split (salt = doc_id mod n_salts(df),
+    n_salts from the collected head map), so no (term, salt) run — and
+    hence no merge-side group — exceeds ~salt_df_threshold postings.
     """
-    block = cfg.block_size
-
-    def encode_chunk(term_ids, salts, doc_ids, tfs, dls, dfs, out):
-        """Slice one concatenated sorted chunk into (term,salt) runs and
-        emit one posting row per run into `out` — ALL numpy work is
-        batched across runs (one encode pass per payload stream, one
-        reduceat pair for block metadata), so tiny tail terms cost no
-        per-run dispatch overhead."""
-        n = len(term_ids)
-        if n == 0:
-            return
-        # run boundaries where (term_id, salt) changes
-        change = np.nonzero(
-            (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
-        )[0]
-        starts = np.concatenate([[0], change + 1]).astype(np.int64)
-        ends = np.concatenate([change + 1, [n]]).astype(np.int64)
-        lens = ends - starts
-
-        # global block starts (block grid restarts at each run start)
-        nblocks = (lens + block - 1) // block
-        boffs = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(nblocks, out=boffs[1:])
-        total_blocks = int(boffs[-1])
-        block_run = np.repeat(np.arange(len(lens)), nblocks)
-        within = (np.arange(total_blocks) - boffs[block_run]) * block
-        bstarts = starts[block_run] + within
-        bend = np.minimum(bstarts + block, ends[block_run])
-
-        # delta chains restart at BLOCK starts (not just run starts):
-        # bstarts includes every run's first block, so run starts are
-        # covered; each block's first gap is the absolute doc id.
-        doc_bufs = encode_runs(
-            delta_encode_runs(doc_ids, bstarts), starts, ends, 8
-        )
-        tf_bufs = encode_runs(tfs, starts, ends, 4)
-        dl_bufs = encode_runs(np.minimum(dls, 2**32 - 1), starts, ends, 4)
-
-        block_last_all = doc_ids[bend - 1]
-        block_tf_all = np.maximum.reduceat(tfs, bstarts)
-        block_dl_all = np.minimum.reduceat(dls, bstarts)
-
-        for r in range(len(lens)):
-            s = int(starts[r])
-            b0, b1 = int(boffs[r]), int(boffs[r + 1])
-            out.append(
-                (
-                    int(term_ids[s]),
-                    int(salts[s]),
-                    int(dfs[s]),
-                    int(lens[r]),
-                    doc_bufs[r],
-                    tf_bufs[r],
-                    dl_bufs[r],
-                    len(doc_bufs[r]) + len(tf_bufs[r]) + len(dl_bufs[r]),
-                    block_last_all[b0:b1].tolist(),
-                    np.minimum(block_tf_all[b0:b1], 2**31 - 1).tolist(),
-                    np.minimum(block_dl_all[b0:b1], 2**31 - 1).tolist(),
-                )
-            )
-
-    cols = ("term_id", "salt", "doc_id", "tf", "doc_len", "df")
+    block_chunk = max(cfg.block_size * 4096, 1_000_000)  # postings per sort chunk
+    tb = cfg.term_buckets
+    tb_sel = (
+        np.array(sorted(int(b) for b in tbuckets), dtype=np.int64)
+        if tbuckets is not None
+        else None
+    )
 
     import os as _os
     _debug = _os.environ.get("CGRS_DEBUG_TIMING") == "1"
@@ -351,94 +316,355 @@ def build_postings(tf_salted: DataFrame, cfg: IndexConfig,
     def run(batches):
         import sys as _sys
         import time as _time
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         _t0 = _time.time()
-        _rows = 0
-        _pyt = 0.0
-        carry = None  # trailing partial run from the previous batch
-        for pdf in batches:
-            _tb = _time.time()
-            _rows += len(pdf)
-            arrs = [pdf[c].to_numpy() for c in cols]
-            if carry is not None:
-                arrs = [np.concatenate([c0, a]) for c0, a in zip(carry, arrs)]
-            term_ids, salts, doc_ids, tfs, dls, dfs = (
-                arrs[0],
-                arrs[1],
-                arrs[2].astype(np.int64),
-                arrs[3].astype(np.int64),
-                arrs[4].astype(np.int64),
-                arrs[5].astype(np.int64),
-            )
-            n = len(term_ids)
-            if n == 0:
-                continue
-            # hold back the last run — it may continue in the next batch
-            bound = np.nonzero(
-                (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
-            )[0]
-            last_start = int(bound[-1]) + 1 if len(bound) else 0
-            carry = tuple(a[last_start:] for a in (term_ids, salts, doc_ids, tfs, dls, dfs))
-            out: list = []
-            encode_chunk(
-                term_ids[:last_start], salts[:last_start], doc_ids[:last_start],
-                tfs[:last_start], dls[:last_start], dfs[:last_start], out,
-            )
-            _pyt += _time.time() - _tb
-            if out:
-                yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
-        if carry is not None and len(carry[0]):
-            out = []
-            encode_chunk(*carry, out)
-            yield pd.DataFrame(out, columns=POSTINGS_SCHEMA.names)
-        if _debug:
-            print(
-                f"CGRS_ENCODE rows={_rows} py_s={_pyt:.2f} "
-                f"wall_s={_time.time() - _t0:.2f}",
-                file=_sys.stderr,
-                flush=True,
+        _py = 0.0
+        _n = 0
+        acc_t: list = []
+        acc_s: list = []
+        acc_d: list = []
+        acc_tf: list = []
+        acc_dl: list = []
+        acc_n = 0
+
+        out_schema = pa.schema(
+            [
+                ("term_id", pa.int64()),
+                ("salt", pa.int32()),
+                ("n", pa.int32()),
+                ("doc_payload", pa.binary()),
+                ("tf_payload", pa.binary()),
+                ("dl_payload", pa.binary()),
+            ]
+        )
+
+        def flush():
+            nonlocal acc_t, acc_s, acc_d, acc_tf, acc_dl, acc_n
+            if acc_n == 0:
+                return None
+            t = np.concatenate(acc_t)
+            s = np.concatenate(acc_s)
+            d = np.concatenate(acc_d)
+            tf = np.concatenate(acc_tf)
+            dl = np.concatenate(acc_dl)
+            acc_t, acc_s, acc_d, acc_tf, acc_dl, acc_n = [], [], [], [], [], 0
+            order = np.lexsort((d, s, t))
+            t, s, d = t[order], s[order], d[order]
+            tf, dl = tf[order], dl[order]
+            n = len(t)
+            change = np.nonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1]))[0]
+            starts = np.concatenate([[0], change + 1]).astype(np.int64)
+            ends = np.concatenate([change + 1, [n]]).astype(np.int64)
+            doc_bufs = encode_runs(delta_encode_runs(d, starts), starts, ends, 8)
+            tf_bufs = encode_runs(tf, starts, ends, 4)
+            dl_bufs = encode_runs(np.minimum(dl, 2**32 - 1), starts, ends, 4)
+            lens = (ends - starts).astype(np.int32)
+            return pa.record_batch(
+                [
+                    pa.array(t[starts], pa.int64()),
+                    pa.array(s[starts].astype(np.int32), pa.int32()),
+                    pa.array(lens, pa.int32()),
+                    pa.array(doc_bufs, pa.binary()),
+                    pa.array(tf_bufs, pa.binary()),
+                    pa.array(dl_bufs, pa.binary()),
+                ],
+                schema=out_schema,
             )
 
-    # explicit partition count: AQE's byte-based coalescing would merge
-    # this shuffle into 1-2 partitions (postings are small in BYTES but
-    # the encode stage is CPU-bound Python — byte-sized coalescing
-    # serializes it).  A user-specified count is AQE-exempt.
-    # Size by DATA, not core count: each partition sorts its tf rows
-    # and streams them through one Arrow pass, so cap partitions at
-    # ~2.5M rows (~150MB) to keep sorts in memory — at low core counts
-    # the extra tasks just queue, at high counts they parallelize.
-    spark = tf_salted.sparkSession
+        for rb in batches:
+            _tb = _time.time()
+            if rb.num_rows == 0:
+                continue
+            tid = rb.column(2)  # term_ids
+            tfl = rb.column(3)  # tfs
+            counts = pc.list_value_length(tid).to_numpy().astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat_t = pc.list_flatten(tid).to_numpy().astype(np.int64, copy=False)
+            flat_tf = pc.list_flatten(tfl).to_numpy().astype(np.int64)
+            docs = np.repeat(rb.column(0).to_numpy(), counts)
+            dls = np.repeat(rb.column(1).to_numpy(), counts)
+            if tb_sel is not None:
+                keep = np.isin(np.mod(flat_t, tb), tb_sel)
+                flat_t, flat_tf = flat_t[keep], flat_tf[keep]
+                docs, dls = docs[keep], dls[keep]
+                if len(flat_t) == 0:
+                    continue
+            # head-term salt (identical to the n_salts_expr + pmod pair)
+            if len(head_tids):
+                pos = np.searchsorted(head_tids, flat_t)
+                pos_c = np.minimum(pos, len(head_tids) - 1)
+                is_head = head_tids[pos_c] == flat_t
+                ns = np.ones(len(flat_t), dtype=np.int64)
+                ns[is_head] = head_nsalts[pos_c[is_head]]
+                salt = np.mod(docs, ns)
+            else:
+                salt = np.zeros(len(flat_t), dtype=np.int64)
+            acc_t.append(flat_t)
+            acc_s.append(salt)
+            acc_d.append(docs)
+            acc_tf.append(flat_tf)
+            acc_dl.append(dls)
+            acc_n += len(flat_t)
+            _n += len(flat_t)
+            if acc_n >= block_chunk:
+                out = flush()
+                _py += _time.time() - _tb
+                if out is not None:
+                    yield out
+            else:
+                _py += _time.time() - _tb
+        out = flush()
+        if out is not None:
+            yield out
+        if _debug:
+            print(
+                f"CGRS_PARTIAL rows={_n} py_s={_py:.2f} "
+                f"wall_s={_time.time() - _t0:.2f}",
+                file=_sys.stderr, flush=True,
+            )
+
+    cols = tokenized.select("doc_id", "doc_len", "term_ids", "tfs")
+    return cols.mapInArrow(run, schema=PARTIALS_SCHEMA)
+
+
+def _encode_final_chunk(term_ids, salts, doc_ids, tfs, dls, block, out):
+    """Slice one concatenated (term,salt,doc)-sorted chunk into runs and
+    emit one FINAL posting row per run (block metadata, block-restarting
+    delta chains) — all numpy work batched across runs."""
+    n = len(term_ids)
+    if n == 0:
+        return
+    change = np.nonzero(
+        (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
+    )[0]
+    starts = np.concatenate([[0], change + 1]).astype(np.int64)
+    ends = np.concatenate([change + 1, [n]]).astype(np.int64)
+    lens = ends - starts
+
+    nblocks = (lens + block - 1) // block
+    boffs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=boffs[1:])
+    total_blocks = int(boffs[-1])
+    block_run = np.repeat(np.arange(len(lens)), nblocks)
+    within = (np.arange(total_blocks) - boffs[block_run]) * block
+    bstarts = starts[block_run] + within
+    bend = np.minimum(bstarts + block, ends[block_run])
+
+    # delta chains restart at BLOCK starts (run starts included), so any
+    # block is decodable alone — the random access BMW probes rely on
+    doc_bufs = encode_runs(delta_encode_runs(doc_ids, bstarts), starts, ends, 8)
+    tf_bufs = encode_runs(tfs, starts, ends, 4)
+    dl_bufs = encode_runs(np.minimum(dls, 2**32 - 1), starts, ends, 4)
+
+    block_last_all = doc_ids[bend - 1]
+    block_tf_all = np.maximum.reduceat(tfs, bstarts)
+    block_dl_all = np.minimum.reduceat(dls, bstarts)
+
+    for r in range(len(lens)):
+        s = int(starts[r])
+        b0, b1 = int(boffs[r]), int(boffs[r + 1])
+        out.append(
+            (
+                int(term_ids[s]),
+                int(salts[s]),
+                int(lens[r]),
+                doc_bufs[r],
+                tf_bufs[r],
+                dl_bufs[r],
+                len(doc_bufs[r]) + len(tf_bufs[r]) + len(dl_bufs[r]),
+                block_last_all[b0:b1].tolist(),
+                np.minimum(block_tf_all[b0:b1], 2**31 - 1).tolist(),
+                np.minimum(block_dl_all[b0:b1], 2**31 - 1).tolist(),
+            )
+        )
+
+
+MERGED_SCHEMA = T.StructType(
+    [f for f in POSTINGS_SCHEMA.fields if f.name != "df"]
+)
+
+
+def merge_partials(
+    partials: DataFrame, cfg: IndexConfig, est_rows: int | None = None
+) -> DataFrame:
+    """Term-sharded SPIMI merge: one hash shuffle of the COMPRESSED
+    partial rows on (term_id, salt), then each partition batch-decodes
+    its partials (codec.decode_runs_flat — one vectorized pass per
+    payload stream, zero-copy over the Arrow BinaryArray buffers),
+    merges runs by doc id with a single lexsort, and re-encodes final
+    posting rows with block-max metadata.  The shuffle moves
+    ~2 B/posting; decode + merge + encode are numpy passes that scale
+    with cores (the row-shuffle + Tungsten-sort design this replaces
+    flat-lined beyond 8 local cores on memory traffic)."""
+    spark = partials.sparkSession
+    block = cfg.block_size
     est_rows = max(1, int(est_rows or 1))
+    # wave-quantized, data-sized partition count (see round-1 notes):
+    # cap ~2.5M postings per merge task, round up to a multiple of 64
     n_part = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         (est_rows + 2_500_000 - 1) // 2_500_000,
     )
-    # round UP to a multiple of 64: the encode stage is CPU-bound and
-    # wave-quantized — e.g. 21 tasks on 16 slots is 2 waves at 66%
-    # slot utilization (the measured 0.48 stage scaling at 600k docs),
-    # while any multiple of 64 divides evenly into 4/8/16/32/64-slot
-    # rounds.  Extra tasks are near-free (reused workers, one Arrow
-    # stream each); at real cluster sizes the est_rows term dominates
-    # and the rounding is noise.
     n_part = ((n_part + 63) // 64) * 64
-    parted = tf_salted.repartition(n_part, "term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id"
-    )
-    out = parted.mapInPandas(run, schema=POSTINGS_SCHEMA)
-    out = out.withColumn(
+    parted = partials.repartition(n_part, "term_id", "salt")
+
+    import os as _os
+    _debug = _os.environ.get("CGRS_DEBUG_TIMING") == "1"
+
+    def _binary_flat(arr):
+        """(uint8 values, int64 offsets) of an Arrow Binary column —
+        zero-copy views over the Arrow buffers."""
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return data, offs
+
+    def run(batches):
+        import sys as _sys
+        import time as _time
+
+        import pyarrow as pa
+
+        _t0 = _time.time()
+        _feed = 0.0
+        _tb = _time.time()
+        terms: list = []
+        salts: list = []
+        ns: list = []
+        streams: dict = {4: [], 5: []}  # col idx → [(data, offs)]
+        doc_parts: list = []
+        for rb in batches:
+            _feed += _time.time() - _tb
+            if rb.num_rows == 0:
+                _tb = _time.time()
+                continue
+            terms.append(rb.column(0).to_numpy())
+            salts.append(rb.column(1).to_numpy())
+            ns.append(rb.column(2).to_numpy())
+            doc_parts.append(_binary_flat(rb.column(3)))
+            streams[4].append(_binary_flat(rb.column(4)))
+            streams[5].append(_binary_flat(rb.column(5)))
+            _tb = _time.time()
+        if not terms:
+            return
+        term = np.concatenate(terms)
+        salt = np.concatenate(salts).astype(np.int64)
+        n_arr = np.concatenate(ns).astype(np.int64)
+
+        def cat_stream(parts):
+            """Concatenate per-batch (values, offsets) Binary views into
+            one (cat, boffs) pair for decode_runs_flat."""
+            datas = [d[o[0] : o[-1]] for d, o in parts]
+            lens = np.array([len(x) for x in datas], dtype=np.int64)
+            bases = np.zeros(len(parts), dtype=np.int64)
+            np.cumsum(lens[:-1], out=bases[1:])
+            cat = datas[0] if len(datas) == 1 else np.concatenate(datas)
+            pieces = [np.zeros(1, dtype=np.int64)]
+            for b, (_d, o) in zip(bases, parts):
+                pieces.append((o - o[0] + b)[1:])
+            return cat, np.concatenate(pieces)
+
+        doc_cat, doc_offs = cat_stream(doc_parts)
+        tf_cat, tf_offs = cat_stream(streams[4])
+        dl_cat, dl_offs = cat_stream(streams[5])
+
+        gaps, out_offs = decode_runs_flat(doc_cat, doc_offs, 8)
+        docs = delta_decode_runs(gaps.astype(np.uint64), out_offs[:-1])
+        tfs, _ = decode_runs_flat(tf_cat, tf_offs, 4)
+        dls, _ = decode_runs_flat(dl_cat, dl_offs, 4)
+
+        # final run id per partial row: rank of its (term, salt) group
+        order = np.lexsort((salt, term))
+        st, ss = term[order], salt[order]
+        change = np.zeros(len(st), dtype=np.int64)
+        change[1:] = (st[1:] != st[:-1]) | (ss[1:] != ss[:-1])
+        np.cumsum(change, out=change)
+        rid_of_partial = np.empty(len(term), dtype=np.int64)
+        rid_of_partial[order] = change
+        rid = np.repeat(rid_of_partial, n_arr)
+
+        order2 = np.lexsort((docs, rid))
+        docs2 = docs[order2]
+        tfs2 = tfs[order2].astype(np.int64)
+        dls2 = dls[order2].astype(np.int64)
+        term2 = np.repeat(term, n_arr)[order2]
+        salt2 = np.repeat(salt, n_arr)[order2]
+        out: list = []
+        _encode_final_chunk(term2, salt2, docs2, tfs2, dls2, block, out)
+        if _debug:
+            print(
+                f"CGRS_MERGE postings={len(docs2)} feed_wait_s={_feed:.2f} "
+                f"wall_s={_time.time() - _t0:.2f}",
+                file=_sys.stderr, flush=True,
+            )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        a_schema = to_arrow_schema(MERGED_SCHEMA)
+        for s in range(0, len(out), 65536):
+            cz = list(zip(*out[s : s + 65536]))
+            yield pa.record_batch(
+                [pa.array(c, a_schema.field(i).type) for i, c in enumerate(cz)],
+                schema=a_schema,
+            )
+
+    return parted.mapInArrow(run, schema=MERGED_SCHEMA)
+
+
+def build_postings(
+    tokenized: DataFrame,
+    dictionary: DataFrame,
+    cfg: IndexConfig,
+    est_rows: int | None = None,
+    tbuckets: list[int] | None = None,
+) -> DataFrame:
+    """Tokenized ledger → compressed posting rows with block skip
+    metadata, SPIMI-merge formulation:
+
+      1. ``encode_partials`` — per-partition sort + partial Group-VarInt
+         encode (no shuffle; head-term salting via the broadcast head
+         map);
+      2. one hash shuffle of the compressed partials on (term_id, salt)
+         — ~2 B/posting, the build's only posting-sized exchange;
+      3. ``merge_partials`` — batch-decode, merge by doc id, final
+         encode with block-max metadata;
+      4. df joined from the dictionary onto the (small) posting rows —
+         at web scale this is a join on #terms×salts rows, not a
+         corpus-sized one;
+      5. tbucket compaction: co-locate each bucket in one output task,
+         sorted by term_id, for single-file sorted bucket writes
+         (partition pruning + row-group stats at query time; identity
+         bucket→directory mapping for incremental splices).
+
+    ``tbuckets`` (incremental path) restricts encoding to terms whose
+    bucket is in the list — the filter applies inside the partial
+    encoder before anything is sorted or shuffled.
+
+    Delta chains restart at every block boundary; block metadata is
+    stat-independent (tf_max, dl_min) — see POSTINGS_SCHEMA.  Skew:
+    salting caps every (term_id, salt) run at ~salt_df_threshold
+    entries (the north rule's build-side skew handling); the merge-side
+    memory bound is the 2.5M-posting partition cap.
+    """
+    head_tids, head_nsalts = head_term_map(dictionary, cfg)
+    partials = encode_partials(tokenized, head_tids, head_nsalts, cfg, tbuckets)
+    merged = merge_partials(partials, cfg, est_rows=est_rows)
+    out = merged.join(dictionary.select("term_id", "df"), "term_id")
+    out = out.select(*POSTINGS_SCHEMA.names).withColumn(
         "tbucket", F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).cast("int")
     )
     # compact: co-locate each tbucket in one output task and sort rows
     # by term_id, so every bucket is written as ONE sorted file with
-    # tight term_id min/max row-group stats — the caller persists this
-    # under tbucket=X directories (Catalog.write(partition_by=
-    # ["tbucket"])), giving (a) identity bucket→directory mapping so
-    # incremental updates can replace exactly the touched buckets and
-    # leave every other bucket byte-identical, and (b) partition
-    # pruning on tbucket plus row-group skipping on term_id at query
-    # time.  The pre-repartition keeps the dynamic-partition writer in
-    # sorted single-open-file mode (an unsorted partitionBy write
-    # measured 4x slower).  This shuffle moves already-encoded blobs
-    # (small), not raw postings.
+    # tight term_id min/max row-group stats (the pre-repartition keeps
+    # the dynamic-partition writer in sorted single-open-file mode; an
+    # unsorted partitionBy write measured 4x slower).  This shuffle
+    # moves already-encoded blobs, not raw postings.
     return out.repartition(cfg.term_buckets, "tbucket").sortWithinPartitions(
         "tbucket", "term_id"
     )

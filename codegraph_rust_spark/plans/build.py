@@ -37,7 +37,6 @@ from ..operators.postings import (
     build_postings,
     dictionary_stage,
     explode_tf,
-    salt_stage,
     tokenize_stage,
 )
 from ..sources.catalog import Catalog
@@ -166,10 +165,9 @@ def derived_stages(
 
     if not done.get(POSTINGS):
         def _postings():
-            salted = salt_stage(tf, dictionary, cfg)
             est_rows = int(n_docs * max(avgdl, 1.0) * 0.85)
             cat.write(
-                build_postings(salted, cfg, est_rows=est_rows),
+                build_postings(tokenized, dictionary, cfg, est_rows=est_rows),
                 POSTINGS,
                 partition_by=["tbucket"],
             )
@@ -177,6 +175,25 @@ def derived_stages(
 
     total = write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
     return {"n_docs": n_docs, "avgdl": avgdl, "total_postings": total}
+
+
+def partition_input(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Tokenize-input partitioning.  Default: uniform hash on url (each
+    task gets a size MIX — best when doc sizes are i.i.d.).  With
+    cfg.schedule_big_first: range-partition on payload length DESC so
+    the heaviest partitions are scheduled first and small ones backfill
+    the tail wave — LPT-style big-files-first (reference
+    parser.rs:105-107), for corpora with heavy size skew."""
+    if not cfg.input_partitions:
+        return pages
+    if cfg.schedule_big_first:
+        src = "html" if "html" in pages.columns else "text"
+        return pages.repartitionByRange(
+            cfg.input_partitions, F.length(F.col(src)).desc(), "url"
+        )
+    if "url" in pages.columns:
+        return pages.repartition(cfg.input_partitions, "url")
+    return pages.repartition(cfg.input_partitions)
 
 
 def build_index(
@@ -192,9 +209,7 @@ def build_index(
     metrics: dict = {"stages": {}, "resumed": []}
     t0 = time.time()
 
-    if cfg.input_partitions:
-        pages = pages.repartition(cfg.input_partitions, "url") \
-            if "url" in pages.columns else pages.repartition(cfg.input_partitions)
+    pages = partition_input(pages, cfg)
 
     done = {}
     for name in (TOKENIZED, CORPUS, DICT, POSTINGS):

@@ -42,7 +42,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import IndexConfig
-from ..operators.postings import build_postings, explode_tf, salt_stage, tokenize_stage
+from ..operators.postings import build_postings, explode_tf, tokenize_stage
 from ..plans.build import (
     CORPUS,
     CORPUS_AGGS,
@@ -219,13 +219,12 @@ def incremental_update(
 
     # --- re-encode ONLY the touched buckets from the spliced ledger
     t = time.time()
-    tf_touched = explode_tf(next_tok).filter(
-        F.pmod(F.col("term_id"), F.lit(cfg.term_buckets)).isin(touched)
-    )
-    salted = salt_stage(tf_touched, cat.read(spark, DICT + "_next"), cfg)
     est_rows = max(1, int(next_tok.count() * 30 * len(touched) / cfg.term_buckets))
     cat.write(
-        build_postings(salted, cfg, est_rows=est_rows),
+        build_postings(
+            next_tok, cat.read(spark, DICT + "_next"), cfg,
+            est_rows=est_rows, tbuckets=touched,
+        ),
         POSTINGS + "_next",
         partition_by=["tbucket"],
     )

@@ -91,6 +91,36 @@ def test_manifest_lineage(spark, tiny_index):
         post.agg(F.sum("n")).collect()[0][0]
 
 
+def test_big_first_scheduling_same_index(spark, tiny_index, tmp_path):
+    """schedule_big_first range-partitions the tokenize input on payload
+    length DESC (reference parser.rs:105-107 big-files-first); the
+    resulting index must be identical to the hash-partitioned build."""
+    import dataclasses
+
+    from codegraph_rust_spark.plans.build import build_index
+
+    cfg = dataclasses.replace(tiny_index["cfg"], schedule_big_first=True)
+    pages = spark.read.parquet(
+        os.path.join(tiny_index["corpus"], "pages.parquet"))
+    work = str(tmp_path / "big_first_idx")
+    build_index(spark, pages, work, cfg, resume=False)
+
+    for tbl in ("dictionary", "corpus_stats"):
+        a = {tuple(r) for r in
+             spark.read.parquet(os.path.join(tiny_index["dir"], tbl)).collect()}
+        b = {tuple(r) for r in
+             spark.read.parquet(os.path.join(work, tbl)).collect()}
+        assert a == b, tbl
+    cols = ["term_id", "salt", "df", "n", "doc_payload", "tf_payload"]
+    a = {tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+         for r in spark.read.parquet(
+             os.path.join(tiny_index["dir"], "postings")).select(cols).collect()}
+    b = {tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+         for r in spark.read.parquet(
+             os.path.join(work, "postings")).select(cols).collect()}
+    assert a == b
+
+
 def test_resume_skips_committed_and_rebuilds_missing(spark, tiny_index, tmp_path):
     """Kill-after-partial-build semantics: drop postings, rerun with
     resume=True → ledger/dict reused, postings rebuilt, index identical."""
