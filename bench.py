@@ -45,7 +45,7 @@ def get_spark(cpus: int):
         .appName("codegraph_rust_spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # REUSED python workers + MALLOC_ARENA_MAX=2: worker reuse keeps
         # the Zipf stem-memo cache warm across tasks (fresh workers
         # re-stemmed the hot vocabulary every task — measured 32.6s →

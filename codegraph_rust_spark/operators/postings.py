@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..config import IndexConfig
 from ..textkit.extract import extract_batch
-from ..textkit.tokenizer import tokenize
+from ..textkit.tokenizer import token_id_counts
 from .codec import (
     decode_runs_flat,
     delta_decode_runs,
@@ -152,18 +152,12 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
     def run(batches):
-        # worker-local term→id memo (Zipf: the hot vocabulary is tiny);
-        # xxh64_str is bit-identical to Spark's xxhash64 (pinned by
-        # test), so ids assigned here == ids the query path derives.
-        tid_cache: dict[str, int] = {}
-
-        def term_id(t: str) -> int:
-            v = tid_cache.get(t)
-            if v is None:
-                v = xxh64_str(t)
-                if len(tid_cache) < 2_000_000:
-                    tid_cache[t] = v
-            return v
+        # token_id_counts fuses tokenize→stem→hash→count behind a
+        # worker-local raw-token→id memo (Zipf: the hot vocabulary is
+        # tiny); xxh64_str is bit-identical to Spark's xxhash64 (pinned
+        # by test), so ids assigned here == ids the query path derives.
+        empty_ids = np.zeros(0, dtype=np.int64)
+        empty_tfs = np.zeros(0, dtype=np.int32)
 
         for pdf in batches:
             if use_html:
@@ -175,25 +169,22 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
             id_arrays: list[np.ndarray] = []
             tf_arrays: list[np.ndarray] = []
             for i, text in enumerate(texts):
-                toks = tokenize(text, analyzer) if text else []
-                doc_lens[i] = len(toks)
-                if toks:
-                    # dict counting beats np.unique here: unique sorts
-                    # an OBJECT array (python string comparisons),
-                    # measured 162µs vs 79µs per 120-token doc
-                    cnt: dict[str, int] = {}
-                    for tok in toks:
-                        cnt[tok] = cnt.get(tok, 0) + 1
-                    ids = np.fromiter(
-                        (term_id(tk) for tk in cnt), dtype=np.int64, count=len(cnt)
+                cnt, ntoks = (
+                    token_id_counts(text, xxh64_str, analyzer)
+                    if text
+                    else ({}, 0)
+                )
+                doc_lens[i] = ntoks
+                if cnt:
+                    id_arrays.append(
+                        np.fromiter(cnt.keys(), dtype=np.int64, count=len(cnt))
                     )
-                    id_arrays.append(ids)
                     tf_arrays.append(
                         np.fromiter(cnt.values(), dtype=np.int32, count=len(cnt))
                     )
                 else:
-                    id_arrays.append(np.zeros(0, dtype=np.int64))
-                    tf_arrays.append(np.zeros(0, dtype=np.int32))
+                    id_arrays.append(empty_ids)
+                    tf_arrays.append(empty_tfs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

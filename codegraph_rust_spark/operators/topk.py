@@ -360,7 +360,16 @@ class InvertedIndex:
         return self.topk_batch([(0, query)], k=k, mode=mode).drop("qid")
 
     def with_urls(self, topk_df: DataFrame) -> DataFrame:
+        """FK-deref of result doc_ids to urls (the reference's node
+        lookup after candidate ranking).  The TOP-K side is broadcast —
+        it is k·|queries| rows; the docs table is corpus-sized and must
+        stay distributed (broadcasting docs would ship the whole corpus
+        to every executor at web scale)."""
         from ..plans.build import read_docs
 
         docs = read_docs(self.spark, self.cat)
-        return topk_df.join(F.broadcast(docs.select("doc_id", "url")), "doc_id", "left")
+        return (
+            docs.select("doc_id", "url")
+            .join(F.broadcast(topk_df), "doc_id", "right")
+            .select(*topk_df.columns, "url")
+        )

@@ -79,19 +79,31 @@ def write_lineage(cat: Catalog, spark: SparkSession, fingerprint: int) -> int:
     )
     from datetime import datetime, timezone
 
+    import pyarrow as pa
+
     now = datetime.now(timezone.utc).replace(tzinfo=None)
-    lineage = spark.createDataFrame(
-        [
-            (
-                r["tbucket"], int(r["rows"]), int(r["postings"] or 0),
-                int(r["bytes"] or 0), POSTINGS, int(fingerprint), now,
-            )
-            for r in buckets
-        ],
-        "tbucket int, rows long, postings long, bytes long, "
-        "stage string, input_fingerprint long, committed_at timestamp",
-    ).coalesce(1)
-    cat.write(lineage, MANIFEST)
+    cat.write_local(
+        pa.table(
+            {
+                "tbucket": pa.array(
+                    [r["tbucket"] for r in buckets], pa.int32()
+                ),
+                "rows": pa.array([int(r["rows"]) for r in buckets], pa.int64()),
+                "postings": pa.array(
+                    [int(r["postings"] or 0) for r in buckets], pa.int64()
+                ),
+                "bytes": pa.array(
+                    [int(r["bytes"] or 0) for r in buckets], pa.int64()
+                ),
+                "stage": pa.array([POSTINGS] * len(buckets), pa.string()),
+                "input_fingerprint": pa.array(
+                    [int(fingerprint)] * len(buckets), pa.int64()
+                ),
+                "committed_at": pa.array([now] * len(buckets), pa.timestamp("us")),
+            }
+        ),
+        MANIFEST,
+    )
     return int(sum(r["postings"] or 0 for r in buckets))
 
 
@@ -104,17 +116,18 @@ CORPUS_AGGS = lambda: [  # noqa: E731 — shared by observe and agg paths
 
 
 def write_corpus_row(cat: Catalog, spark: SparkSession, got: dict) -> None:
-    cat.write(
-        spark.createDataFrame(
-            [
-                (
-                    int(got["n_docs"]),
-                    float(got["avgdl"] or 0.0),
-                    int(got["n_tokens"] or 0),
-                    int(got["input_fingerprint"] or 0),
-                )
-            ],
-            "n_docs long, avgdl double, n_tokens long, input_fingerprint long",
+    import pyarrow as pa
+
+    cat.write_local(
+        pa.table(
+            {
+                "n_docs": pa.array([int(got["n_docs"])], pa.int64()),
+                "avgdl": pa.array([float(got["avgdl"] or 0.0)], pa.float64()),
+                "n_tokens": pa.array([int(got["n_tokens"] or 0)], pa.int64()),
+                "input_fingerprint": pa.array(
+                    [int(got["input_fingerprint"] or 0)], pa.int64()
+                ),
+            }
         ),
         CORPUS,
     )
@@ -136,10 +149,14 @@ def read_docs(spark: SparkSession, cat: Catalog) -> DataFrame:
 
 def derived_stages(
     spark: SparkSession, cat: Catalog, cfg: IndexConfig, metrics: dict,
-    done: dict | None = None,
+    done: dict | None = None, corpus_row: dict | None = None,
 ) -> dict:
     """corpus/dictionary/postings from a committed tokenized table.
-    Shared by the bulk build and incremental updates."""
+    Shared by the bulk build and incremental updates.  ``corpus_row``
+    carries the just-observed corpus scalars from the caller so the
+    fresh-build path never re-reads the one-row table it just wrote
+    (every Spark action has a fixed scheduling floor; the scaling
+    protocol counts them all)."""
     done = done or {}
 
     def timed(name, fn):
@@ -153,7 +170,7 @@ def derived_stages(
         # resume path only: the fresh build computes these scalars via
         # an Observation riding the tokenize write (build_index)
         timed(CORPUS, lambda: cat.write(tokenized.agg(*CORPUS_AGGS()), CORPUS))
-    stats_row = cat.read(spark, CORPUS).collect()[0]
+    stats_row = corpus_row or cat.read(spark, CORPUS).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
     metrics["n_docs"], metrics["avgdl"] = n_docs, avgdl
 
@@ -217,6 +234,7 @@ def build_index(
         if done[name]:
             metrics["resumed"].append(name)
 
+    corpus_row = None
     if not done[TOKENIZED]:
         # corpus scalars ride the tokenize write as an Observation —
         # n_docs/avgdl/fingerprint cost zero extra jobs or scans
@@ -226,10 +244,11 @@ def build_index(
         obs = Observation("corpus")
         cat.write(tokenize_stage(pages, cfg).observe(obs, *CORPUS_AGGS()), TOKENIZED)
         metrics["stages"][TOKENIZED] = {"wall_s": round(time.time() - t, 3)}
-        write_corpus_row(cat, spark, obs.get)
+        corpus_row = obs.get
+        write_corpus_row(cat, spark, corpus_row)
         done[CORPUS] = True
 
-    derived = derived_stages(spark, cat, cfg, metrics, done)
+    derived = derived_stages(spark, cat, cfg, metrics, done, corpus_row=corpus_row)
 
     total_postings = derived["total_postings"]
     n_docs = metrics["n_docs"]

@@ -62,3 +62,60 @@ def tokenize(text: str, mode: str = "snowball") -> list[str]:
 def analyze_batch(texts, mode: str = "snowball") -> list[list[str]]:
     """Tokenize a batch (any iterable of str/None) — pandas-UDF hot path."""
     return [tokenize(t, mode) if t else [] for t in texts]
+
+
+# Per-mode RAW-token → term-id memos for the fused counting path below.
+# Keyed on the raw (pre-lowercase) token so the hot path allocates NO
+# intermediate strings at all; case variants cost extra entries, which
+# the cap absorbs.  Separate per mode: the same raw token maps to
+# different ids under snowball vs simple.  A single deterministic
+# hasher per process is assumed (xxh64_str == Spark xxhash64).
+_ID_CACHES: dict[str, dict[str, int]] = {"snowball": {}, "simple": {}}
+_ID_CACHE_MAX = 2_000_000
+
+
+def token_id_counts(text: str, hasher, mode: str = "snowball"):
+    """One fused pass over a document: (term_id → tf dict, n_tokens).
+
+    Collapses tokenize → lowercase → stem → hash-to-id → count into a
+    single raw-token-keyed memo lookup plus an int-keyed dict bump per
+    token instance.  vs the unfused chain this removes, per instance,
+    one ``str.lower()`` allocation and one string-keyed dict operation
+    (fresh regex strings re-hash on every lookup; ints don't) — the
+    index build's tokenize stage is memory-traffic-bound at high
+    worker counts, so allocation avoided here shows up directly in the
+    scaling curve.  Only the (rare, Zipf-amortized) miss path touches
+    the stemmer."""
+    if not text:
+        return {}, 0
+    cache = _ID_CACHES[mode]
+    stems = _STEM_CACHE
+    cnt: dict[int, int] = {}
+    n = 0
+    if mode == "simple":
+        for tok in text.lower().split(" "):
+            if not tok:
+                continue
+            n += 1
+            tid = cache.get(tok)
+            if tid is None:
+                tid = hasher(tok)
+                if len(cache) < _ID_CACHE_MAX:
+                    cache[tok] = tid
+            cnt[tid] = cnt.get(tid, 0) + 1
+        return cnt, n
+    for tok in _TOKEN_RE.findall(text):
+        n += 1
+        tid = cache.get(tok)
+        if tid is None:
+            low = tok.lower()
+            stemmed = stems.get(low)
+            if stemmed is None:
+                stemmed = stem(low) if not low.isdigit() else low
+                if len(stems) < _STEM_CACHE_MAX:
+                    stems[low] = stemmed
+            tid = hasher(stemmed)
+            if len(cache) < _ID_CACHE_MAX:
+                cache[tok] = tid
+        cnt[tid] = cnt.get(tid, 0) + 1
+    return cnt, n

@@ -44,7 +44,14 @@ def main() -> None:
         SparkSession.builder.appName(f"scaling-bench-{args.cpus}")
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # 4m splits: the tokenized ledger at this corpus size is
+        # ~270MB — 16m splits gave the postings encode scan 17 tasks,
+        # which wave-quantizes badly on 16 cores (17 = 16 + 1 ⇒ the
+        # second wave runs one task); 4m yields ~68 splits at BOTH
+        # levels, keeping work units identical while letting 16 cores
+        # pack 4+ waves.  The production analog: size splits so every
+        # executor core gets several waves of the hot scan.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # reused workers keep the Zipf stem-memo warm across tasks
         # (8x tokenize speedup measured); MALLOC_ARENA_MAX=2 (set by
         # the launcher) contains worker heap fragmentation
