@@ -423,16 +423,19 @@ def encode_partials(
     return cols.mapInArrow(run, schema=PARTIALS_SCHEMA)
 
 
-def _encode_final_chunk(term_ids, salts, doc_ids, tfs, dls, block, out):
-    """Slice one concatenated (term,salt,doc)-sorted chunk into runs and
-    emit one FINAL posting row per run (block metadata, block-restarting
-    delta chains) — all numpy work batched across runs."""
-    n = len(term_ids)
+def _encode_final_chunk(rid, term_of_rid, salt_of_rid, doc_ids, tfs, dls,
+                        block, out):
+    """Slice one run-id-sorted chunk into runs and emit one FINAL
+    posting row per run (block metadata, block-restarting delta chains)
+    — all numpy work batched across runs.  Run identity arrives as a
+    dense ``rid`` int per posting plus per-RUN (term, salt) lookup
+    arrays: carrying ids per run instead of per posting avoids two
+    60M-row repeat+gather passes per merge partition (the stage is
+    memory-bandwidth-bound — every avoided stream is wall time)."""
+    n = len(rid)
     if n == 0:
         return
-    change = np.nonzero(
-        (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
-    )[0]
+    change = np.nonzero(rid[1:] != rid[:-1])[0]
     starts = np.concatenate([[0], change + 1]).astype(np.int64)
     ends = np.concatenate([change + 1, [n]]).astype(np.int64)
     lens = ends - starts
@@ -456,13 +459,14 @@ def _encode_final_chunk(term_ids, salts, doc_ids, tfs, dls, block, out):
     block_tf_all = np.maximum.reduceat(tfs, bstarts)
     block_dl_all = np.minimum.reduceat(dls, bstarts)
 
+    run_rid = rid[starts]
     for r in range(len(lens)):
-        s = int(starts[r])
+        s = int(run_rid[r])
         b0, b1 = int(boffs[r]), int(boffs[r + 1])
         out.append(
             (
-                int(term_ids[s]),
-                int(salts[s]),
+                int(term_of_rid[s]),
+                int(salt_of_rid[s]),
                 int(lens[r]),
                 doc_bufs[r],
                 tf_bufs[r],
@@ -579,16 +583,24 @@ def merge_partials(
         np.cumsum(change, out=change)
         rid_of_partial = np.empty(len(term), dtype=np.int64)
         rid_of_partial[order] = change
+        # per-RUN (term, salt) lookups — scatter once (#partials rows),
+        # so the posting-sized arrays below never carry term/salt
+        nruns = int(change[-1]) + 1 if len(change) else 0
+        term_of_rid = np.empty(nruns, dtype=np.int64)
+        salt_of_rid = np.empty(nruns, dtype=np.int64)
+        term_of_rid[rid_of_partial] = term
+        salt_of_rid[rid_of_partial] = salt
         rid = np.repeat(rid_of_partial, n_arr)
 
         order2 = np.lexsort((docs, rid))
+        rid2 = rid[order2]
         docs2 = docs[order2]
         tfs2 = tfs[order2].astype(np.int64)
         dls2 = dls[order2].astype(np.int64)
-        term2 = np.repeat(term, n_arr)[order2]
-        salt2 = np.repeat(salt, n_arr)[order2]
         out: list = []
-        _encode_final_chunk(term2, salt2, docs2, tfs2, dls2, block, out)
+        _encode_final_chunk(
+            rid2, term_of_rid, salt_of_rid, docs2, tfs2, dls2, block, out
+        )
         if _debug:
             print(
                 f"CGRS_MERGE postings={len(docs2)} feed_wait_s={_feed:.2f} "
