@@ -51,6 +51,7 @@ from ..plans.build import (
     POSTINGS,
     TOKENIZED,
     read_docs,
+    write_corpus_row,
     write_lineage,
 )
 from ..sources.catalog import Catalog
@@ -241,8 +242,8 @@ def incremental_update(
     #     a physical docs dir from an older index would now be stale)
     cat.drop(DOCS)
     live_tok = cat.read(spark, TOKENIZED)
-    cat.write(live_tok.agg(*CORPUS_AGGS()), CORPUS)
-    stats = cat.read(spark, CORPUS).collect()[0]
+    stats = live_tok.agg(*CORPUS_AGGS()).collect()[0].asDict()
+    write_corpus_row(cat, spark, stats)
     write_lineage(cat, spark, int(stats["input_fingerprint"] or 0))
 
     changes.unpersist()
