@@ -140,3 +140,35 @@ def test_resume_skips_committed_and_rebuilds_missing(spark, tiny_index, tmp_path
     after = spark.read.parquet(os.path.join(work, "postings")) \
         .agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
     assert tuple(before) == tuple(after)
+
+
+def test_postings_partitioning_invariance(spark, tiny_corpus, tiny_index,
+                                          tmp_path_factory):
+    """The DECODED posting table must be identical whatever the input
+    partitioning: the SPIMI merge (partial runs arrive in arbitrary
+    order and counts) must resolve to one canonical (term, salt) →
+    sorted-docs result.  Stronger than the top-k-hash invariance test —
+    it pins every (term_id, salt, doc, tf, dl) tuple, not just query
+    outcomes."""
+    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.plans.build import build_index
+
+    def decoded(index_dir):
+        post = spark.read.parquet(os.path.join(index_dir, "postings"))
+        tuples = []
+        for r in post.collect():
+            docs = delta_decode_blocked(decode_u64(bytes(r["doc_payload"])), 128)
+            tfs = decode_u32(bytes(r["tf_payload"]))
+            dls = decode_u32(bytes(r["dl_payload"]))
+            for d, t, l in zip(docs.tolist(), tfs.tolist(), dls.tolist()):
+                tuples.append((r["term_id"], r["salt"], r["df"], d, t, l))
+        tuples.sort()
+        return tuples
+
+    base = decoded(tiny_index["dir"])
+    other_dir = str(tmp_path_factory.mktemp("idx") / "tiny_index_p3")
+    pages = spark.read.parquet(os.path.join(tiny_corpus, "pages.parquet"))
+    cfg = IndexConfig(input_partitions=3, salt_df_threshold=200, max_salts=4)
+    build_index(spark, pages, other_dir, cfg, resume=False)
+    assert decoded(other_dir) == base
+    shutil.rmtree(other_dir, ignore_errors=True)
