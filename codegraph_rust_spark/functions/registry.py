@@ -71,7 +71,7 @@ REGISTRY: dict = {
     "ann_ivf": (rr.ann_ivf, rr.ANN_IVF_SQL),
     # multimodal (opaque binary payloads; decode stubbed, plumbing real)
     "binary_payload_stats": (mm.binary_payload_stats, mm.BINARY_PAYLOAD_STATS_SQL),
-    "media_frame_features": (mm.media_frame_features, None),
+    "media_frame_features": (mm.media_frame_features, mm.MEDIA_FRAME_FEATURES_SQL),
     # similarity / vectors
     "knn_bruteforce": (tx.knn_bruteforce, tx.KNN_BRUTEFORCE_SQL),
     "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),
