@@ -135,15 +135,20 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # surface the stored north-rule scaling number (BENCH.md is written
-    # by scripts/scaling_bench.py --md, the official two-level protocol)
+    # by scripts/scaling_bench.py --md, the official two-level protocol).
+    # It is NOT measured by this run — key and source say so explicitly.
     scaling_eff = None
+    scaling_src = None
     try:
         import re
 
         with open(os.path.join(REPO, "BENCH.md")) as f:
-            m = re.search(r"Scaling efficiency \(build\):[^=]*= ([0-9.]+)", f.read())
+            md = f.read()
+        m = re.search(r"Scaling efficiency \(build\):[^=]*= ([0-9.]+)", md)
         if m:
             scaling_eff = float(m.group(1))
+            d = re.search(r"(?:Generated|Date|run at)[:\s]+([0-9T:\-\. Z]+)", md)
+            scaling_src = "BENCH.md" + (f" ({d.group(1).strip()})" if d else "")
     except OSError:
         pass
 
@@ -160,7 +165,8 @@ def main() -> None:
         "postings_per_sec": metrics.get("postings_per_sec"),
         "total_postings": metrics.get("total_postings"),
         "bm25_results": len(batch),
-        "scaling_efficiency_n_to_4n": scaling_eff,
+        "scaling_efficiency_n_to_4n_stored": scaling_eff,
+        "scaling_efficiency_source": scaling_src,
     }
     print(json.dumps(out))
     spark.stop()

@@ -253,7 +253,7 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_ITERS = 4  # pointer-doubling rounds: reaches components of diameter 2^4
+CC_MAX_ITERS = 30  # safety cap: pointer doubling reaches diameter 2^30
 
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,12 +266,17 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Min-label propagation with pointer doubling: each round first takes
     the min label over neighbors, then replaces every label by the
     label OF its label (comp[v] ← comp[comp[v]]), so reach doubles per
-    round — CC_ITERS=4 covers diameter 2⁴, plenty for near-dup clusters
-    (typical diameter 1-3; at planetary scale swap in the
-    alternating-star algorithm of Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14 — same DataFrame surface).
-    Only docs that appear in at least one pair are emitted (singletons
-    are their own trivial component).
+    round.  The loop runs to a FIXED POINT, not a fixed round count:
+    labels are monotone non-increasing per node (the min always
+    includes the node's own label), so Σcomp strictly decreases until
+    converged — one cheap agg action per round is the convergence
+    witness, and the exact transitive closure (= the DuckDB oracle's
+    recursive CTE) is guaranteed for any component diameter.
+    CC_MAX_ITERS caps runaway graphs at diameter 2^30; at planetary
+    scale swap in the alternating-star algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — same
+    DataFrame surface.  Only docs that appear in at least one pair are
+    emitted (singletons are their own trivial component).
 
     Lineage is truncated (localCheckpoint) on the pair set and on every
     round's label table: without it the self-referencing loop embeds
@@ -296,7 +301,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
-    for _ in range(CC_ITERS):
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
         # 1) min over neighbors' labels (and own)
         nbr = (
             adj.join(labels, adj.doc_b == labels.doc_id)
@@ -316,6 +322,12 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.coalesce("comp2", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        # convergence: per-node labels are monotone non-increasing, so
+        # an unchanged Σcomp means no label moved this round
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("comp").alias("component"))
 
 

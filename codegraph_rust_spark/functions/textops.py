@@ -110,11 +110,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Exhaustive BM25(1.2, 0.75) top-k over documents for the fixed
     query — the 'degenerate index' end-to-end slice (SURVEY.md §7):
     tf/df/dl via joins, scoring in whole-stage-codegen expressions,
-    TakeOrderedAndProject top-k. Semantics of surql:425-447."""
-    docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    TakeOrderedAndProject top-k. Semantics of surql:425-447.
+
+    ORACLE-ONLY slice: re-tokenizes the corpus per call, so it is the
+    DuckDB-mirrorable twin, not the production path — the engine-backed
+    ``indexed.bm25_index_topk`` (compressed postings + MaxScore) is
+    what ``entry()`` routes through.  Corpus scalars (N, avgdl) come
+    from ONE fused aggregation = one driver action, not two."""
     dl = _dl_df(spark, sf_dir)
-    avgdl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     toks = _toks_df(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -395,32 +402,39 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the hot set is usually tiny (AQE will broadcast
     # it), but at 100 TB it can exceed driver memory — let AQE decide.
     sh = raw.join(hot, "sh", "left_anti").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    try:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
-                6,
-            ),
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        out = (
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.1)
+            .select("doc_a", "doc_b", "jaccard")
         )
-        .filter(F.col("jaccard") >= 0.1)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        # materialize the (small) pair set so the shingle cache can be
+        # RELEASED before returning — repeated registry calls in a
+        # long-lived session must not accumulate cached partitions
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 NGRAM_JACCARD_SQL = """

@@ -364,12 +364,18 @@ class InvertedIndex:
         lookup after candidate ranking).  The TOP-K side is broadcast —
         it is k·|queries| rows; the docs table is corpus-sized and must
         stay distributed (broadcasting docs would ship the whole corpus
-        to every executor at web scale)."""
+        to every executor at web scale).
+
+        INNER join on purpose: Spark cannot build the broadcast hash
+        table on the preserved side of an outer join (RightOuter only
+        supports BuildLeft), so a `right` join here would silently
+        degrade to a corpus-wide sort-merge join.  Every top-k doc_id
+        came out of this index's doc table, so inner ≡ right."""
         from ..plans.build import read_docs
 
         docs = read_docs(self.spark, self.cat)
         return (
             docs.select("doc_id", "url")
-            .join(F.broadcast(topk_df), "doc_id", "right")
+            .join(F.broadcast(topk_df), "doc_id")
             .select(*topk_df.columns, "url")
         )

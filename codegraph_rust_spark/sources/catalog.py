@@ -65,18 +65,30 @@ class Catalog:
         scaling protocol); a driver-side parquet write plus the same
         _SUCCESS marker is the local-fs analog of a metadata-only
         Iceberg commit and costs milliseconds.  Readers can't tell the
-        difference."""
+        difference.
+
+        Swap discipline: the OLD table dir is renamed aside, the new
+        one os.replace'd into place, then the old copy deleted — the
+        non-atomic window is two renames, not a full rmtree.  tmp/old
+        are siblings of the target so EXDEV cannot occur.  POSIX has no
+        true atomic directory swap, so a concurrent reader landing
+        between the renames can still see the table missing — accepted
+        for this single-driver control-plane path."""
         import pyarrow.parquet as pq
 
         p = self.path(name)
         tmp = p + "._tmp"
+        old = p + "._old"
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         os.makedirs(tmp)
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
-        shutil.rmtree(p, ignore_errors=True)
+        if os.path.isdir(p):
+            os.replace(p, old)
         os.replace(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
