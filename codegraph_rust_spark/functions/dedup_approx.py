@@ -1,22 +1,34 @@
 """Approximate near-dup detection: MinHash+LSH and SimHash.
 
-Training-data-pipeline operators with no SQL-expressible oracle (they
-depend on Spark's xxhash64); the driver records rows-only checks, and
-tests/test_dedup.py asserts recall against exact pair sets instead
-(MinHash vs exact trigram-Jaccard pairs; SimHash vs exact Hamming
-pairs, where pigeonhole banding makes recall 1.0 by construction).
+Hash family: both operators key off **md5** (bit-identical in Spark
+and DuckDB), so the ENTIRE pipeline — hashing, banding, bucket join,
+verification — is replayed by a SQL oracle and driver-checked
+hash-exact.  MinHash derives its 64 per-seed hashes from ONE md5 per
+shingle via a universal-hash family h_i(x) = (a_i·x + b_i) mod p with
+p = 2³¹−1 (Carter–Wegman; one wide hash + 64 multiply-mods is also
+cheaper than 64 independent string hashes at 100 TB).  SimHash takes
+its 64 term-hash bits from the first 16 hex digits of md5(term),
+carried as two uint32 halves so every bit op stays in non-negative
+int64 range where Spark's and DuckDB's shift/and/xor semantics agree
+exactly.  (xxhash64 would be a cheaper per-row hash for a pure
+production build — swapping the two `_md5_*` helpers is the only
+change — but md5 buys an engine-independent oracle.)
+
+Recall gates beyond the oracle (tests/test_dedup.py): MinHash vs exact
+trigram-Jaccard pairs; SimHash vs exact Hamming pairs, where
+pigeonhole banding makes recall 1.0 by construction.
 
 Scale design:
 
 * MinHash signatures are one JVM groupBy: explode shingles → N_HASHES
-  independent ``min(xxhash64(sh, seed_i))`` aggregates in a SINGLE
+  independent ``min((a_i·x + b_i) mod p)`` aggregates in a SINGLE
   aggregation (map-side partial min combine — the shingle table
   crosses the shuffle once, NOT once per hash function; an earlier
   ×N_HASHES ``crossJoin(seeds)`` variant multiplied shuffle volume 16×
   for identical signatures).
 * The only joins are on band buckets — candidate generation cost is
   proportional to bucket collisions, not the O(n²) pair space.
-* SimHash is computed entirely JVM-side (xxhash64 bit arithmetic in
+* SimHash is computed entirely JVM-side (md5 + bit arithmetic in
   whole-stage codegen, one shuffle with partial aggregation); no
   Python in the path at all.
 * SimHash near-pair search uses pigeonhole banding: d+1 bands over the
@@ -32,10 +44,11 @@ Scale design:
 
 from __future__ import annotations
 
+import random
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .common import t
 from .textops import _TOKS, NGRAM_JACCARD_SQL, _trigrams
@@ -43,18 +56,41 @@ from .textops import _TOKS, NGRAM_JACCARD_SQL, _trigrams
 N_HASHES = 64
 BAND_SIZE = 4  # 16 bands × 4 rows
 
+# Carter–Wegman universal family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i·x + b_i) mod P with x < P, a_i ∈ [1, P), b_i ∈ [0, P).
+# a_i·x < 2^62 so the arithmetic never leaves int64 — identical in
+# Spark and DuckDB.  Coefficients are a fixed deterministic draw.
+MINHASH_P = 2_147_483_647
+_rng = random.Random(0xC0DE)
+MINHASH_AB = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(N_HASHES)
+]
+del _rng
+
+
+def _md5_60(col) -> Column:
+    """First 60 bits of md5 as a non-negative int64 (15 hex digits —
+    16 would overflow BIGINT's positive range).  Spark's
+    conv(hex, 16, 10) and DuckDB's ('0x' || hex)::BIGINT agree."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MD5_60_SQL = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
+
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → h0..h{N_HASHES-1} minhash signature over word trigrams,
-    built in ONE groupBy (each hash = min of xxhash64(shingle, seed)).
-    Shingle strings are pre-hashed to int64 so only 8-byte keys cross
-    the shuffle (re-hashing an int with a seed keeps the per-seed hash
-    families independent)."""
-    sh = _trigrams(spark, sf_dir).select("doc_id", F.xxhash64("sh").alias("shh"))
+    built in ONE groupBy (each hash = min over shingles of
+    (a_i·x + b_i) mod P, x = md5-60(shingle) mod P).  Shingle strings
+    are hashed to int64 BEFORE the shuffle so only 8-byte keys cross."""
+    sh = _trigrams(spark, sf_dir).select(
+        "doc_id", (_md5_60(F.col("sh")) % MINHASH_P).alias("x")
+    )
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("shh", F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
 
@@ -101,6 +137,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"h{i}::VARCHAR" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toksa AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+sh_raw AS (
+  SELECT DISTINCT doc_id, a[g] || ' ' || a[g+1] || ' ' || a[g+2] AS sh
+  FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 2, 0))) AS g
+        FROM toksa)
+),
+xs AS (
+  SELECT doc_id, {_MD5_60_SQL.format(c="sh")} % {MINHASH_P} AS x FROM sh_raw
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM xs GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_sql()
 
 
 # embedding-cosine near-dup: 4 bands × 4 sign bits over fixed
@@ -216,40 +297,65 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document — tf-weighted bit voting over
-    xxhash64(token), entirely in JVM codegen (no Python UDF):
-    vote_j = Σ_token_instances (2·bit_j − 1); bit j of the fingerprint
-    is set when vote_j > 0.  Summing per token INSTANCE is identical to
-    tf-weighting unique tokens.  One shuffle (groupBy doc_id) with
-    map-side partial aggregation."""
+def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo_fp, hi_fp) — the 64-bit SimHash carried as two
+    uint32 halves so every downstream bit op stays in non-negative
+    int64 range (where Spark and DuckDB shift/and/xor agree exactly).
+
+    tf-weighted bit voting over the first 64 bits of md5(token),
+    entirely in JVM codegen (no Python UDF): vote_j = Σ_token_instances
+    (2·bit_j − 1); bit j of the fingerprint is set when vote_j > 0.
+    Summing per token INSTANCE is identical to tf-weighting unique
+    tokens.  One shuffle (groupBy doc_id) with map-side partial
+    aggregation."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
-    h = F.xxhash64("term")
+    lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftrightunsigned(lo if j < 32 else hi, j % 32)
+                .bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"v{j}")
             for j in range(64)
         ]
     )
-    # assemble the int64 fingerprint; bit 63 enters as -2^63 (two's
-    # complement), so the sum is exactly representable — no overflow
-    # under ANSI mode.
-    bit_terms = [
-        F.when(
-            F.col(f"v{j}") > 0,
-            F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(64)
-    ]
-    sim = votes.select("doc_id", reduce(add, bit_terms).alias("simhash"))
+    lo_fp = reduce(
+        add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(32)
+        ],
+    )
+    hi_fp = reduce(
+        add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))
+            for j in range(32, 64)
+        ],
+    )
+    sim = votes.select("doc_id", lo_fp.alias("lo_fp"), hi_fp.alias("hi_fp"))
     # empty docs have no token rows: keep them with fingerprint 0
     return (
         d.select("doc_id")
         .join(sim, "doc_id", "left")
-        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+        .select(
+            "doc_id",
+            F.coalesce("lo_fp", F.lit(0)).alias("lo_fp"),
+            F.coalesce("hi_fp", F.lit(0)).alias("hi_fp"),
+        )
+    )
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with the halves packed into one int64 — bit 31
+    of hi_fp lands in the sign bit via shiftleft's natural wrap (two's
+    complement), matching a plain uint64→int64 reinterpretation."""
+    h = simhash_halves(spark, sf_dir)
+    return h.select(
+        "doc_id",
+        F.shiftleft(F.col("hi_fp"), 32).bitwiseOR(F.col("lo_fp")).alias("simhash"),
     )
 
 
@@ -362,28 +468,61 @@ def _band_specs(d: int) -> list[tuple[int, int]]:
     return offs
 
 
+def _band_val_col(off: int, w: int) -> Column:
+    """Bits [off, off+w) of the fingerprint, read out of the lo_fp /
+    hi_fp halves (spanning the 32-bit seam when needed).  Every
+    intermediate stays a non-negative < 2^32 int64."""
+    mask = (1 << w) - 1
+    lo, hi = F.col("lo_fp"), F.col("hi_fp")
+    if off >= 32:
+        return F.shiftrightunsigned(hi, off - 32).bitwiseAND(F.lit(mask))
+    if off + w <= 32:
+        return F.shiftrightunsigned(lo, off).bitwiseAND(F.lit(mask))
+    nlo = 32 - off
+    return (
+        F.shiftrightunsigned(lo, off)
+        .bitwiseAND(F.lit((1 << nlo) - 1))
+        .bitwiseOR(
+            F.shiftleft(hi.bitwiseAND(F.lit((1 << (off + w - 32)) - 1)), nlo)
+        )
+    )
+
+
+def _band_val_sql(off: int, w: int) -> str:
+    mask = (1 << w) - 1
+    if off >= 32:
+        return f"((hi_fp >> {off - 32}) & {mask})"
+    if off + w <= 32:
+        return f"((lo_fp >> {off}) & {mask})"
+    nlo = 32 - off
+    return (
+        f"(((lo_fp >> {off}) & {(1 << nlo) - 1})"
+        f" | ((hi_fp & {(1 << (off + w - 32)) - 1}) << {nlo}))"
+    )
+
+
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, d: int = 8
 ) -> DataFrame:
     """All pairs within Hamming distance ≤ d of each other's SimHash.
 
     Pigeonhole banding (d+1 bands) generates candidates with recall
-    1.0 by construction; exact ``bit_count(xor)`` verifies.  See the
-    module docstring for the d-vs-bucket-width scale trade-off
-    (Manku et al. use d=3 for 64-bit fingerprints at web scale)."""
-    sh = simhash64(spark, sf_dir)
+    1.0 by construction; exact ``bit_count(xor)`` (summed over the two
+    halves) verifies.  See the module docstring for the
+    d-vs-bucket-width scale trade-off (Manku et al. use d=3 for 64-bit
+    fingerprints at web scale)."""
+    sh = simhash_halves(spark, sf_dir)
     specs = _band_specs(d)
     banded = sh.select(
         "doc_id",
-        "simhash",
+        "lo_fp",
+        "hi_fp",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("band_val"),
+                        _band_val_col(off, w).alias("band_val"),
                     )
                     for i, (off, w) in enumerate(specs)
                 ]
@@ -391,7 +530,8 @@ def simhash_near_pairs(
         ).alias("bs"),
     ).select(
         "doc_id",
-        "simhash",
+        "lo_fp",
+        "hi_fp",
         F.col("bs.band").alias("band"),
         F.col("bs.band_val").alias("band_val"),
     )
@@ -406,11 +546,69 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            (
+                F.bit_count(F.col("a.lo_fp").bitwiseXOR(F.col("b.lo_fp")))
+                + F.bit_count(F.col("a.hi_fp").bitwiseXOR(F.col("b.hi_fp")))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= d)
         .distinct()
     )
     return pairs
+
+
+def _simhash_near_pairs_sql(d: int = 8) -> str:
+    votes = ",\n         ".join(
+        f"sum((({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) * 2 - 1) AS v{j}"
+        for j in range(64)
+    )
+    lo_fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi_fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, lo_fp, hi_fp, {i} AS band,"
+        f" {_band_val_sql(off, w)} AS band_val FROM fp"
+        for i, (off, w) in enumerate(_band_specs(d))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(term), 9, 8))::BIGINT AS hi
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+fp0 AS (
+  SELECT doc_id, {lo_fp} AS lo_fp, {hi_fp} AS hi_fp FROM votes
+),
+fp AS (
+  SELECT d.doc_id, coalesce(f.lo_fp, 0)::BIGINT AS lo_fp,
+         coalesce(f.hi_fp, 0)::BIGINT AS hi_fp
+  FROM documents d LEFT JOIN fp0 f ON f.doc_id = d.doc_id
+),
+banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.lo_fp, b.lo_fp))
+            + bit_count(xor(a.hi_fp, b.hi_fp)) AS int) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo_fp, b.lo_fp)) + bit_count(xor(a.hi_fp, b.hi_fp)) <= {d}
+"""
+
+
+SIMHASH_NEAR_PAIRS_SQL = _simhash_near_pairs_sql(8)

@@ -59,8 +59,8 @@ REGISTRY: dict = {
     "exact_dedup_groups": (tx.exact_dedup_groups, tx.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (tx.ngram_jaccard_pairs, tx.NGRAM_JACCARD_SQL),
     "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
-    "minhash_lsh_pairs": (da.minhash_lsh_pairs, None),
-    "simhash_near_pairs": (da.simhash_near_pairs, None),
+    "minhash_lsh_pairs": (da.minhash_lsh_pairs, da.MINHASH_LSH_PAIRS_SQL),
+    "simhash_near_pairs": (da.simhash_near_pairs, da.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
     "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
     # chunking / reranking (training-data prep + post-retrieval stages)
