@@ -167,26 +167,155 @@ def transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join; min-depth dedup happens once at the end (cheaper than
     per-level distinct at this depth)."""
     e = _part_edges(spark, sf_dir).persist()
-    levels = []
-    frontier = e.filter(F.col("from_id") == 1).select(
-        F.col("to_id").alias("node_id"), F.lit(1).alias("depth")
-    )
-    levels.append(frontier)
-    for depth in range(2, BFS_MAX_DEPTH + 1):
-        frontier = (
-            e.join(frontier.select(F.col("node_id").alias("from_id")).distinct(),
-                   "from_id")
-            .select(F.col("to_id").alias("node_id"), F.lit(depth).alias("depth"))
+    try:
+        levels = []
+        frontier = e.filter(F.col("from_id") == 1).select(
+            F.col("to_id").alias("node_id"), F.lit(1).alias("depth")
         )
         levels.append(frontier)
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionByName(lvl)
-    return (
-        out.filter(F.col("node_id") != 1)
-        .groupBy("node_id")
-        .agg(F.min("depth").alias("depth"))
-    )
+        for depth in range(2, BFS_MAX_DEPTH + 1):
+            frontier = (
+                e.join(frontier.select(F.col("node_id").alias("from_id")).distinct(),
+                       "from_id")
+                .select(F.col("to_id").alias("node_id"), F.lit(depth).alias("depth"))
+            )
+            levels.append(frontier)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.unionByName(lvl)
+        return (
+            out.filter(F.col("node_id") != 1)
+            .groupBy("node_id")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
+
+
+def reverse_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-direction bounded BFS (depth ≤ 5) with min-depth dedup —
+    fn::get_reverse_dependencies (schema/codegraph.surql:231-253): the
+    level-by-level "which nodes can REACH me" walk, i.e.
+    ``transitive_deps`` with the join direction swapped (edges are
+    traversed to→from).  Target node = 1."""
+    e = _part_edges(spark, sf_dir)
+    rev = e.select(
+        F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id")
+    ).persist()
+    try:
+        levels = []
+        frontier = rev.filter(F.col("from_id") == 1).select(
+            F.col("to_id").alias("node_id"), F.lit(1).alias("depth")
+        )
+        levels.append(frontier)
+        for depth in range(2, BFS_MAX_DEPTH + 1):
+            frontier = (
+                rev.join(
+                    frontier.select(F.col("node_id").alias("from_id")).distinct(),
+                    "from_id",
+                )
+                .select(F.col("to_id").alias("node_id"), F.lit(depth).alias("depth"))
+            )
+            levels.append(frontier)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.unionByName(lvl)
+        return (
+            out.filter(F.col("node_id") != 1)
+            .groupBy("node_id")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        rev.unpersist()
+
+
+REVERSE_DEPS_SQL = f"""
+WITH e AS (SELECT to_id AS from_id, from_id AS to_id FROM ({_PART_EDGES_SQL})),
+     l1 AS (SELECT to_id AS node_id, 1 AS depth FROM e WHERE from_id = 1),
+     f1 AS (SELECT DISTINCT node_id FROM l1),
+     l2 AS (SELECT e.to_id AS node_id, 2 AS depth FROM e JOIN f1 ON e.from_id = f1.node_id),
+     f2 AS (SELECT DISTINCT node_id FROM l2),
+     l3 AS (SELECT e.to_id AS node_id, 3 AS depth FROM e JOIN f2 ON e.from_id = f2.node_id),
+     f3 AS (SELECT DISTINCT node_id FROM l3),
+     l4 AS (SELECT e.to_id AS node_id, 4 AS depth FROM e JOIN f3 ON e.from_id = f3.node_id),
+     f4 AS (SELECT DISTINCT node_id FROM l4),
+     l5 AS (SELECT e.to_id AS node_id, 5 AS depth FROM e JOIN f4 ON e.from_id = f4.node_id)
+SELECT node_id, min(depth) AS depth
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+      UNION ALL SELECT * FROM l4 UNION ALL SELECT * FROM l5)
+WHERE node_id != 1
+GROUP BY node_id
+"""
+
+
+def trace_call_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-RECONSTRUCTING bounded BFS — fn::trace_call_chain
+    (schema/codegraph.surql:708-720): not just which nodes are
+    reachable but the call chain that reaches them.  Frontier rows
+    carry the path array; each level is one join that appends the next
+    hop and drops cycles via array_contains (simple paths only).
+    Edges = functional ⊕ involution part graphs (out-degree 2, so
+    branching is real: ≤ 2^5 chains).  Start node = 1, depth ≤ 5.
+
+    The path is emitted as an '->'-joined STRING — driver-hashable and
+    the shape a user reads; the array form exists only inside the
+    loop."""
+    fwd = _part_edges(spark, sf_dir)
+    inv = _involution_edges(spark, sf_dir)
+    e = fwd.unionByName(inv).distinct().persist()
+    try:
+        frontier = (
+            e.filter((F.col("from_id") == 1) & (F.col("to_id") != 1))
+            .select(
+                F.col("to_id").alias("node_id"),
+                F.lit(1).alias("depth"),
+                F.array(F.lit(1).cast("long"), F.col("to_id")).alias("path"),
+            )
+        )
+        levels = [frontier]
+        for depth in range(2, BFS_MAX_DEPTH + 1):
+            frontier = (
+                e.join(frontier.withColumnRenamed("node_id", "from_id"), "from_id")
+                .filter(~F.array_contains("path", F.col("to_id")))
+                .select(
+                    F.col("to_id").alias("node_id"),
+                    F.lit(depth).alias("depth"),
+                    F.concat("path", F.array("to_id")).alias("path"),
+                )
+            )
+            levels.append(frontier)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.unionByName(lvl)
+        return out.select(
+            "node_id",
+            "depth",
+            F.array_join("path", "->").alias("path"),
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+TRACE_CALL_CHAIN_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT from_id, to_id FROM (
+    SELECT from_id, to_id FROM ({_PART_EDGES_SQL})
+    UNION ALL
+    SELECT from_id, to_id FROM ({_INVOLUTION_EDGES_SQL})
+  )
+),
+chain(node_id, depth, path) AS (
+  SELECT to_id AS node_id, 1 AS depth, [1::BIGINT, to_id] AS path
+  FROM e WHERE from_id = 1 AND to_id != 1
+  UNION ALL
+  SELECT e.to_id, c.depth + 1, list_append(c.path, e.to_id)
+  FROM chain c JOIN e ON e.from_id = c.node_id
+  WHERE c.depth < {BFS_MAX_DEPTH} AND NOT list_contains(c.path, e.to_id)
+)
+SELECT node_id, depth, array_to_string(path, '->') AS path FROM chain
+"""
 
 
 TRANSITIVE_DEPS_SQL = f"""

@@ -111,3 +111,63 @@ def hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_INDEX_TOPK_SQL = HYBRID_SCORE_TOPK_SQL  # same semantics, engine-backed
+
+
+def context_enriched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-context enrichment composed onto the flagship: decorate
+    each hybrid top-k hit with its top-5 related documents — the
+    reference's batch post-retrieval enrichment
+    (schema/codegraph.surql:480-535: fetch edges for ALL result nodes
+    in TWO queries and join back, never per-row round-trips).
+
+    Relatedness surrogate on the webtext tables: same ``source`` (the
+    driver testdata's only inter-document link), ranked by n_chars
+    desc.  The plan honors the reference's "two queries" discipline —
+    exactly two corpus joins, both building a broadcast hash table
+    from the k-row result side; the corpus never shuffles."""
+    from .common import t
+
+    topk = hybrid_index_topk(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    # join 1: FK-deref the k results to their source (broadcast the k rows)
+    hits = docs.select("doc_id", "source").join(F.broadcast(topk), "doc_id")
+    # join 2: batch-fetch ALL related docs for ALL results at once
+    rel = docs.select(
+        F.col("doc_id").alias("rel_doc_id"),
+        "source",
+        F.col("n_chars").alias("rel_n_chars"),
+    )
+    pairs = rel.join(
+        F.broadcast(hits.select("doc_id", "combined_score", "rank", "source")),
+        "source",
+    ).filter(F.col("rel_doc_id") != F.col("doc_id"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("rel_n_chars"), F.asc("rel_doc_id")
+    )
+    return (
+        pairs.withColumn("rel_rank", F.row_number().over(w))
+        .filter(F.col("rel_rank") <= 5)
+        .select("doc_id", "combined_score", "rank", "rel_doc_id", "rel_rank")
+    )
+
+
+CONTEXT_ENRICHED_TOPK_SQL = f"""
+WITH topk AS ({HYBRID_INDEX_TOPK_SQL}),
+hits AS (
+  SELECT t.doc_id, t.combined_score, t.rank, d.source
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+),
+pairs AS (
+  SELECT h.doc_id, h.combined_score, h.rank,
+         d.doc_id AS rel_doc_id, d.n_chars AS rel_n_chars
+  FROM hits h JOIN documents d
+    ON d.source = h.source AND d.doc_id != h.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY rel_n_chars DESC, rel_doc_id) AS rel_rank
+  FROM pairs
+)
+SELECT doc_id, combined_score, rank, rel_doc_id, cast(rel_rank AS int) AS rel_rank
+FROM ranked WHERE rel_rank <= 5
+"""

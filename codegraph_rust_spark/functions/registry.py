@@ -36,6 +36,8 @@ REGISTRY: dict = {
     "edge_type_counts": (g.edge_type_counts, g.EDGE_TYPE_COUNTS_SQL),
     "cycle_detect": (g.cycle_detect, g.CYCLE_DETECT_SQL),
     "transitive_deps": (g.transitive_deps, g.TRANSITIVE_DEPS_SQL),
+    "reverse_dependencies": (g.reverse_dependencies, g.REVERSE_DEPS_SQL),
+    "trace_call_chain": (g.trace_call_chain, g.TRACE_CALL_CHAIN_SQL),
     # inverted-index / BM25 (SQL-expressible slice)
     "doc_stats": (tx.doc_stats, tx.DOC_STATS_SQL),
     "dictionary_stats": (tx.dictionary_stats, tx.DICTIONARY_STATS_SQL),
@@ -45,6 +47,7 @@ REGISTRY: dict = {
     # engine-backed: the Spark side decodes the compressed postings index
     "bm25_index_topk": (ix.bm25_index_topk, ix.BM25_INDEX_TOPK_SQL),
     "hybrid_index_topk": (ix.hybrid_index_topk, ix.HYBRID_INDEX_TOPK_SQL),
+    "context_enriched_topk": (ix.context_enriched_topk, ix.CONTEXT_ENRICHED_TOPK_SQL),
     "find_docs_by_term": (tx.find_docs_by_term, tx.FIND_DOCS_BY_TERM_SQL),
     "metadata_search_filters": (
         tx.metadata_search_filters,
@@ -65,6 +68,10 @@ REGISTRY: dict = {
     "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
+    "search_chunks_with_context": (
+        ck.search_chunks_with_context,
+        ck.SEARCH_CHUNKS_WITH_CONTEXT_SQL,
+    ),
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),
     "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
     "ann_multiprobe": (rr.ann_multiprobe, rr.ANN_MULTIPROBE_SQL),
