@@ -67,6 +67,48 @@ def test_maxscore_rank_identical(spark, tiny_index, oracle_results):
     _check(rows, golden, queries)
 
 
+@pytest.fixture(scope="module")
+def salted_index(spark, tiny_corpus, tmp_path_factory):
+    """Second index with an aggressive salting config (max_salts=64,
+    low df threshold) so the adaptive residue router has real work:
+    matched term lists span n_salts ∈ {1..64} and the per-qid D must
+    be computed, not assumed."""
+    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.plans.build import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("idx64") / "salted_index")
+    pages = spark.read.parquet(os.path.join(tiny_corpus, "pages.parquet"))
+    cfg = IndexConfig(input_partitions=8, salt_df_threshold=50, max_salts=64)
+    build_index(spark, pages, index_dir, cfg, resume=False)
+    return {"dir": index_dir, "cfg": cfg, "corpus": tiny_corpus}
+
+
+def test_maxscore_adaptive_residues_rank_identical(spark, salted_index):
+    """residues='adaptive' (per-qid D = max matched n_salts) must be
+    EXACTLY as rank-identical as the default residues='max' — the two
+    strategies route the same postings onto different residue grids
+    but may never disagree on scores (topk.py adaptive branch)."""
+    d = salted_index["dir"]
+    corpus = salted_index["corpus"]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        select d.doc_id, p.text
+        from (select doc_id, url
+              from '{os.path.join(d, "tokenized", "*.parquet")}') d
+        join '{os.path.join(corpus, "pages.parquet", "*.parquet")}' p using (url)
+        """
+    ).fetchall()
+    queries = load_queries(os.path.join(corpus, "queries.tsv"))
+    golden = oracle_topk(rows, queries, k=10, cfg=salted_index["cfg"])
+    idx = InvertedIndex(spark, d, salted_index["cfg"])
+    for residues in ("max", "adaptive"):
+        got = idx.topk_batch(
+            queries, k=10, mode="maxscore", residues=residues
+        ).collect()
+        _check(got, golden, queries)
+
+
 def test_oov_query_returns_empty(spark, tiny_index):
     idx = InvertedIndex(spark, tiny_index["dir"], tiny_index["cfg"])
     assert idx.topk("zzz-never-a-term qqq-nope", k=10).count() == 0
@@ -75,6 +117,12 @@ def test_oov_query_returns_empty(spark, tiny_index):
 def test_single_term_topk_with_urls(spark, tiny_index):
     idx = InvertedIndex(spark, tiny_index["dir"], tiny_index["cfg"])
     df = idx.with_urls(idx.topk("running", k=5, mode="taat"))
+    # the hint must actually be honored: the k-row top-k side builds a
+    # broadcast hash table, the corpus-sized docs table never shuffles
+    # (a right-outer join here would silently fall back to sort-merge)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     rows = df.collect()
     assert 0 < len(rows) <= 5
     assert all(r["url"].startswith("https://") for r in rows)
