@@ -1,0 +1,133 @@
+"""Deterministic document-embedding provider — the reference's
+embedding-provider surface (crates/codegraph-vector providers: batch
+text in, fixed-dim vectors out) with the MODEL swapped for feature
+hashing, since no neural model ships in this container.
+
+Feature hashing (the "hashing trick", Weinberger et al., ICML'09 —
+public) over the simple analyzer's tokens: dimension = h(token) mod D,
+sign = one extra hash bit, embedding[j] = Σ signs of token instances
+hashed to j.  Deterministic, md5-keyed (bit-identical in Spark and
+DuckDB), and INTEGER-valued — the registry entry is value-hash exact
+with no float tolerance games.
+
+Two implementations with pinned equality (tests/test_embedder.py):
+
+* ``embed_documents`` — pure JVM: explode → one groupBy with D
+  conditional sums (map-side combine; the same vote shape as SimHash).
+  This is the 100 TB path.
+* ``embed_documents_batched`` — ``mapInPandas`` with the EXACT calling
+  shape a real provider client needs (Arrow batch of texts in, float
+  matrix out, batch size = Arrow batch size): swap the numpy body for
+  an HTTP/ONNX call and nothing else changes.  This is the plumbing
+  proof for the provider row of SURVEY §2.10.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .common import t
+from .textops import _TOKS
+
+EMBED_DIM = 8
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → e0..e{D-1} hashed bag-of-words embedding, all-JVM.
+
+    dim(token) = md5_32(token) mod D; sign(token) = ±1 from the next
+    hash bit; e_j = Σ_instances sign.  One explode + one groupBy with
+    map-side partial sums — the same single-shuffle shape as the
+    SimHash votes.  Empty docs keep an all-zero row."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
+    lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    dim = lo % EMBED_DIM
+    sign = F.shiftrightunsigned(lo, 3).bitwiseAND(F.lit(1)) * 2 - 1
+    emb = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(dim == j, sign).otherwise(F.lit(0))).alias(f"e{j}")
+            for j in range(EMBED_DIM)
+        ]
+    )
+    return (
+        d.select("doc_id")
+        .join(emb, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[F.coalesce(f"e{j}", F.lit(0)).alias(f"e{j}") for j in range(EMBED_DIM)],
+        )
+    )
+
+
+EMBED_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS lo
+  FROM toks
+),
+emb AS (
+  SELECT doc_id,
+         {", ".join(
+             f"sum(CASE WHEN lo % {EMBED_DIM} = {j} "
+             f"THEN ((lo >> 3) & 1) * 2 - 1 ELSE 0 END) AS e{j}"
+             for j in range(EMBED_DIM)
+         )}
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {", ".join(
+           f"cast(coalesce(e.e{j}, 0) AS bigint) AS e{j}" for j in range(EMBED_DIM)
+       )}
+FROM documents d LEFT JOIN emb e ON e.doc_id = d.doc_id
+"""
+
+
+_BATCHED_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"e{j}", T.LongType()) for j in range(EMBED_DIM)]
+)
+
+
+def embed_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider-client shaped variant: Arrow batches of raw text enter
+    a ``mapInPandas`` worker, a vectorized body computes the fixed-dim
+    matrix for the WHOLE batch, rows stream back out.  A real provider
+    replaces ``_hash_embed_batch`` with its HTTP/ONNX call; batch size
+    (= Arrow batch size, spark.sql.execution.arrow.maxRecordsPerBatch)
+    is the provider's batching discipline."""
+    from ..operators.xxhash import xxh64_str  # noqa: F401  (worker import check)
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _hash_embed_batch(texts: list) -> np.ndarray:
+        import hashlib
+
+        out = np.zeros((len(texts), EMBED_DIM), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            for tok in text.lower().split(" "):
+                if not tok:
+                    continue
+                lo = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                sign = ((lo >> 3) & 1) * 2 - 1
+                out[i, lo % EMBED_DIM] += sign
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            mat = _hash_embed_batch(pdf["text"].tolist())
+            cols = {"doc_id": pdf["doc_id"].to_numpy()}
+            for j in range(EMBED_DIM):
+                cols[f"e{j}"] = mat[:, j]
+            yield pd.DataFrame(cols)
+
+    return d.mapInPandas(run, schema=_BATCHED_SCHEMA)

@@ -55,27 +55,27 @@ def ensure_doc_index(spark: SparkSession, sf_dir: str) -> tuple[str, IndexConfig
     return index_dir, cfg
 
 
-def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25(1.2, 0.75) top-10 for the fixed query, answered through the
+def bm25_index_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25(1.2, 0.75) top-k for the fixed query, answered through the
     compressed inverted index (MaxScore + block-max skipping) — the
     engine path; the DuckDB oracle recomputes exhaustively from text.
 
-    Raw-score top-20 is re-ranked on the ROUNDED score (the oracle
+    Raw-score top-2k is re-ranked on the ROUNDED score (the oracle
     orders by its 6-dp rounded sum) so boundary ties resolve
-    identically; the overfetch covers any tie group crossing rank 10.
+    identically; the overfetch covers any tie group crossing rank k.
     """
     from ..operators.topk import InvertedIndex
 
     index_dir, cfg = ensure_doc_index(spark, sf_dir)
     idx = InvertedIndex(spark, index_dir, cfg)
     raw = idx.topk_batch(
-        [(0, " ".join(BM25_QUERY_TERMS))], k=20, mode="maxscore"
+        [(0, " ".join(BM25_QUERY_TERMS))], k=2 * k, mode="maxscore"
     ).drop("qid", "rank")
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         raw.withColumn("score", F.round("score", 6))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= k)
         .select("doc_id", "score", "rank")
     )
 

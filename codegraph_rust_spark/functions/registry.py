@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from . import chunking as ck
 from . import dedup_approx as da
+from . import embedder as em
 from . import graph as g
 from . import indexed as ix
 from . import multimodal as mm
@@ -80,6 +81,7 @@ REGISTRY: dict = {
     "binary_payload_stats": (mm.binary_payload_stats, mm.BINARY_PAYLOAD_STATS_SQL),
     "media_frame_features": (mm.media_frame_features, mm.MEDIA_FRAME_FEATURES_SQL),
     # similarity / vectors
+    "embed_documents": (em.embed_documents, em.EMBED_DOCUMENTS_SQL),
     "knn_bruteforce": (tx.knn_bruteforce, tx.KNN_BRUTEFORCE_SQL),
     "ann_signbucket": (tx.ann_signbucket, tx.ANN_SIGNBUCKET_SQL),
     "embedding_mean_pool": (tx.embedding_mean_pool, tx.EMBEDDING_MEAN_POOL_SQL),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .common import t
-from .textops import _BM25_TOPK_SQL_T, bm25_topk
+from .textops import _BM25_TOPK_SQL_T
 
 RERANK_K = 10
 ANN_K = 5
@@ -32,8 +32,16 @@ _SIGN_DIMS = 16
 
 def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overfetch BM25 top-2k → rescore 0.5·text + 0.5·cosine(query
-    vec_id=0) → reranked top-k with (original_rank, reranked_position)."""
-    cand = bm25_topk(spark, sf_dir, k=RERANK_K * 2).select(
+    vec_id=0) → reranked top-k with (original_rank, reranked_position).
+
+    The candidate stage answers through the COMPRESSED-POSTINGS engine
+    (bm25_index_topk — MaxScore, block decode), not the exhaustive
+    re-tokenize plan; the DuckDB oracle still recomputes from raw text,
+    so the driver gate proves engine == exhaustive through the rerank
+    composition too."""
+    from .indexed import bm25_index_topk
+
+    cand = bm25_index_topk(spark, sf_dir, k=RERANK_K * 2).select(
         "doc_id",
         F.col("score").alias("text_score"),
         F.col("rank").alias("original_rank"),

@@ -627,7 +627,10 @@ def hybrid_score_topk(
     reference's hybrid fusion (schema/codegraph.surql:452-478; weights
     0.9/0.1 at :471 and 0.7/0.3 in the experimental schema
     codegraph_graph_experimental.surql:879-885 — configurable here)
-    with documents.doc_id ≡ embeddings.vec_id."""
+    with documents.doc_id ≡ embeddings.vec_id.
+
+    ORACLE-ONLY slice (inherits the exhaustive bm25_topk): the engine
+    path is ``indexed.hybrid_index_topk``."""
     from pyspark.sql import Window
 
     text = bm25_topk(spark, sf_dir).select(
