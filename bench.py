@@ -126,9 +126,16 @@ def main() -> None:
         "knn_bruteforce",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
+        "simhash_near_pairs",
         "embedding_near_dup",
         "degree_counts",
         "hybrid_score_topk",
+        "rerank_topk",
+        "search_chunks_with_context",
+        "context_enriched_topk",
+        "embed_documents",
+        "media_frame_features",
+        "trace_call_chain",
     ):
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
