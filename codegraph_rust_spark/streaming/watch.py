@@ -30,6 +30,23 @@ from ..config import IndexConfig
 from .incremental import incremental_update
 
 
+def dedup_page_versions(pages_stream, watermark: str = "10 minutes"):
+    """Event-time watermarked version-dedup — SURVEY §7's "late pages
+    by warc_ts" hard part: a redelivered (url, warc_ts) page version
+    (at-least-once sources redeliver) must index exactly once, while
+    state stays bounded on an unbounded stream.
+
+    ``withWatermark(warc_ts) + dropDuplicates([url, warc_ts])`` keeps
+    one row per page VERSION and lets Spark evict dedup state older
+    than the watermark — versions arriving later than the lateness
+    bound are treated as new (the documented horizon trade-off, same
+    dial as the stateful dedup TTL).  Composes in front of
+    ``watch_pages``'s foreachBatch or any downstream sink."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
+    )
+
+
 def watch_pages(
     spark: SparkSession,
     watch_dir: str,

@@ -59,3 +59,44 @@ def test_first_seen_survives_batches(spark, tmp_path):
     # the indexer-facing filter: first_seen rows = 3 distinct hashes
     firsts = {r["content_hash"] for r in rows if r["first_seen"]}
     assert len(firsts) == 3
+
+
+def test_watermarked_version_dedup(spark, tmp_path):
+    """A redelivered (url, warc_ts) page version must index exactly
+    once across micro-batches (at-least-once source semantics)."""
+    from codegraph_rust_spark.streaming.watch import dedup_page_versions
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(watch, name))
+
+    import datetime
+
+    t1 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    t2 = datetime.datetime(2026, 1, 1, 12, 5, 0)
+    _write("b1", [("u1", t1, "v1"), ("u1", t1, "v1")])       # in-batch dup
+    _write("b2", [("u1", t1, "v1"), ("u1", t2, "v2")])       # redelivery + new version
+    schema = spark.read.parquet(os.path.join(watch, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(watch, "*"))
+    )
+    q = (
+        dedup_page_versions(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("vdedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url, warc_ts, text from vdedup_out").collect()
+    assert sorted((r["url"], r["warc_ts"], r["text"]) for r in rows) == [
+        ("u1", t1, "v1"),
+        ("u1", t2, "v2"),
+    ]
