@@ -119,7 +119,135 @@ def search_chunks_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIA_CHUNKS_K = 10
+VIA_CHUNKS_OVERFETCH = VIA_CHUNKS_K * 3  # $chunk_limit = $safe_limit * 3
+
+
+def search_docs_via_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn::semantic_search_nodes_via_chunks (schema/codegraph.surql:
+    316-447) shape-for-shape: overfetch 3k CHUNK hits → aggregate to
+    the parent (best chunk score, contributing-chunk count) → UNION
+    with direct text candidates NOT already found via chunks
+    (anti-join, the reference's NOTINSIDE $chunk_ids) → combined
+    top-k.  Chunk hits rank first (the reference concatenates chunk
+    results ahead of text fallbacks at equal footing in $combined;
+    here both carry their score and the rank orders by score).
+
+    match_source tells a consumer which leg found the doc — 'chunks'
+    or 'text' — exactly the reference's match_sources field."""
+    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
+    n = F.size("a")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= CHUNK_SIZE, F.lit(1))
+        .otherwise(
+            F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("int") + 1
+        )
+    )
+    c = d.filter(n > 0).select(
+        "doc_id",
+        "a",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    )
+    start = F.col("chunk_index") * CHUNK_STEP
+    window = F.slice("a", start + 1, CHUNK_SIZE)
+    chunk_scored = c.select(
+        "doc_id",
+        "chunk_index",
+        F.size(F.filter(window, lambda x: x.isin(*BM25_QUERY_TERMS))).alias(
+            "chunk_score"
+        ),
+    ).filter(F.col("chunk_score") > 0)
+    hits = (
+        chunk_scored.orderBy(
+            F.desc("chunk_score"), F.asc("doc_id"), F.asc("chunk_index")
+        )
+        .limit(VIA_CHUNKS_OVERFETCH)
+    )
+    via_chunks = hits.groupBy("doc_id").agg(
+        F.max("chunk_score").alias("score"),
+        F.count(F.lit(1)).alias("n_hit_chunks"),
+    ).withColumn("match_source", F.lit("chunks"))
+    # direct text leg: whole-doc query-term count, docs NOT already hit
+    text_scored = d.select(
+        "doc_id",
+        F.size(F.filter(F.col("a"), lambda x: x.isin(*BM25_QUERY_TERMS))).alias(
+            "score"
+        ),
+    ).filter(F.col("score") > 0)
+    text_leg = (
+        text_scored.join(via_chunks.select("doc_id"), "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(VIA_CHUNKS_K)
+        .withColumn("n_hit_chunks", F.lit(0).cast("long"))
+        .withColumn("match_source", F.lit("text"))
+    )
+    combined = via_chunks.unionByName(
+        text_leg.select("doc_id", "score", "n_hit_chunks", "match_source")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(VIA_CHUNKS_K)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 _TERMS_IN = ", ".join(f"'{q}'" for q in BM25_QUERY_TERMS)
+
+SEARCH_DOCS_VIA_CHUNKS_SQL = f"""
+WITH toksa AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, a,
+         CASE WHEN len(a) <= 0 THEN 0
+              WHEN len(a) <= {CHUNK_SIZE} THEN 1
+              ELSE cast(ceil((len(a) - {CHUNK_SIZE}) / {float(CHUNK_STEP)}) AS int) + 1
+         END AS n_chunks
+  FROM toksa
+),
+c AS (
+  SELECT doc_id, a, unnest(generate_series(0, n_chunks - 1)) AS chunk_index
+  FROM nc WHERE n_chunks > 0
+),
+chunk_scored AS (
+  SELECT doc_id, cast(chunk_index AS int) AS chunk_index,
+         cast(len(list_filter(
+           a[chunk_index * {CHUNK_STEP} + 1 : chunk_index * {CHUNK_STEP} + {CHUNK_SIZE}],
+           x -> x IN ({{terms}}))) AS int) AS chunk_score
+  FROM c
+),
+hits AS (
+  SELECT doc_id, chunk_index, chunk_score FROM chunk_scored
+  WHERE chunk_score > 0
+  ORDER BY chunk_score DESC, doc_id, chunk_index LIMIT {VIA_CHUNKS_OVERFETCH}
+),
+via_chunks AS (
+  SELECT doc_id, cast(max(chunk_score) AS int) AS score,
+         count(*) AS n_hit_chunks, 'chunks' AS match_source
+  FROM hits GROUP BY doc_id
+),
+text_scored AS (
+  SELECT doc_id,
+         cast(len(list_filter(a, x -> x IN ({{terms}}))) AS int) AS score
+  FROM toksa
+),
+text_leg AS (
+  SELECT t.doc_id, t.score, 0::BIGINT AS n_hit_chunks, 'text' AS match_source
+  FROM text_scored t
+  WHERE t.score > 0
+    AND t.doc_id NOT IN (SELECT doc_id FROM via_chunks)
+  ORDER BY t.score DESC, t.doc_id LIMIT {VIA_CHUNKS_K}
+),
+combined AS (
+  SELECT * FROM via_chunks UNION ALL SELECT * FROM text_leg
+)
+SELECT doc_id, score, n_hit_chunks, match_source,
+       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS int) AS rank
+FROM combined ORDER BY score DESC, doc_id LIMIT {VIA_CHUNKS_K}
+""".replace("{terms}", _TERMS_IN)
 
 SEARCH_CHUNKS_WITH_CONTEXT_SQL = f"""
 WITH toksa AS (

@@ -318,6 +318,144 @@ SELECT node_id, depth, array_to_string(path, '->') AS path FROM chain
 """
 
 
+HOTSPOT_THRESHOLD = 2.0
+HOTSPOT_LIMIT = 20
+
+
+def complexity_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn::get_complexity_hotspots (schema/codegraph.surql:723-770)
+    ported shape-for-shape: threshold filter on a per-entity complexity
+    metric → overfetch 2×limit by complexity → join afferent/efferent
+    coupling counts → instability = floor(eff/(eff+aff)·10⁴)/10⁴ and
+    risk_score = complexity·(afferent+1) → final top-limit by risk.
+
+    Webtext mapping: complexity(doc) = distinct-token ratio ×
+    ln(1 + n_tokens) (lexical complexity — the analog of cyclomatic
+    complexity for prose); the coupling graph is the deterministic
+    doc-id functional ⊕ involution edge set (same graph
+    trace_call_chain walks).  The 2×limit overfetch joins only ~40
+    rows against the degree aggregates (broadcast the overfetch side);
+    the corpus-wide degree aggregation is one shuffle."""
+    d = t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    scored = (
+        d.select(
+            "doc_id",
+            F.round(
+                nd.cast("double") / n.cast("double") * F.log(F.lit(1.0) + n),
+                6,
+            ).alias("complexity"),
+        )
+        .filter(F.col("complexity") >= HOTSPOT_THRESHOLD)
+        .orderBy(F.desc("complexity"), F.asc("doc_id"))
+        .limit(HOTSPOT_LIMIT * 2)
+    )
+    e = (
+        d.select(
+            F.col("doc_id").alias("from_id"),
+            ((F.col("doc_id") * 37 + 11) % F.lit(mx)).alias("to_id"),
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("from_id"),
+                ((F.lit(mx) - F.col("doc_id")) % F.lit(mx)).alias("to_id"),
+            )
+        )
+        .distinct()
+    )
+    aff = e.groupBy(F.col("to_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("afferent")
+    )
+    eff = e.groupBy(F.col("from_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("efferent")
+    )
+    joined = (
+        scored.join(aff, "doc_id", "left")
+        .join(eff, "doc_id", "left")
+        .select(
+            "doc_id",
+            "complexity",
+            F.coalesce("afferent", F.lit(0)).alias("afferent"),
+            F.coalesce("efferent", F.lit(0)).alias("efferent"),
+        )
+        .withColumn(
+            "instability",
+            F.when(
+                (F.col("afferent") + F.col("efferent")) > 0,
+                F.floor(
+                    F.col("efferent").cast("double")
+                    / (F.col("afferent") + F.col("efferent")).cast("double")
+                    * 10000
+                )
+                / 10000.0,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "risk_score",
+            F.round(F.col("complexity") * (F.col("afferent") + 1), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("risk_score"), F.asc("doc_id"))
+    return (
+        joined.orderBy(F.desc("risk_score"), F.asc("doc_id"))
+        .limit(HOTSPOT_LIMIT)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+COMPLEXITY_HOTSPOTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+scored AS (
+  SELECT doc_id, complexity FROM (
+    SELECT doc_id,
+           round(cast(len(list_distinct(a)) AS double) / cast(len(a) AS double)
+                 * ln(1.0 + len(a)), 6) AS complexity
+    FROM d WHERE len(a) > 0
+  )
+  WHERE complexity >= {HOTSPOT_THRESHOLD}
+  ORDER BY complexity DESC, doc_id LIMIT {HOTSPOT_LIMIT * 2}
+),
+e AS (
+  SELECT DISTINCT from_id, to_id FROM (
+    SELECT doc_id AS from_id, (doc_id * 37 + 11) % (SELECT m FROM mx) AS to_id
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS from_id, ((SELECT m FROM mx) - doc_id) % (SELECT m FROM mx) AS to_id
+    FROM documents
+  )
+),
+aff AS (SELECT to_id AS doc_id, count(*) AS afferent FROM e GROUP BY 1),
+eff AS (SELECT from_id AS doc_id, count(*) AS efferent FROM e GROUP BY 1),
+joined AS (
+  SELECT s.doc_id, s.complexity,
+         coalesce(a.afferent, 0) AS afferent,
+         coalesce(f.efferent, 0) AS efferent,
+         CASE WHEN coalesce(a.afferent, 0) + coalesce(f.efferent, 0) > 0
+              THEN floor(cast(coalesce(f.efferent, 0) AS double)
+                         / cast(coalesce(a.afferent, 0) + coalesce(f.efferent, 0) AS double)
+                         * 10000) / 10000.0
+              ELSE 0.0 END AS instability,
+         round(s.complexity * (coalesce(a.afferent, 0) + 1), 6) AS risk_score
+  FROM scored s
+  LEFT JOIN aff a ON a.doc_id = s.doc_id
+  LEFT JOIN eff f ON f.doc_id = s.doc_id
+)
+SELECT doc_id, complexity, afferent, efferent, instability, risk_score,
+       cast(row_number() OVER (ORDER BY risk_score DESC, doc_id) AS int) AS rank
+FROM joined ORDER BY risk_score DESC, doc_id LIMIT {HOTSPOT_LIMIT}
+"""
+
+
 TRANSITIVE_DEPS_SQL = f"""
 WITH e AS ({_PART_EDGES_SQL}),
      l1 AS (SELECT to_id AS node_id, 1 AS depth FROM e WHERE from_id = 1),

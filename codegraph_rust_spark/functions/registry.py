@@ -39,6 +39,7 @@ REGISTRY: dict = {
     "transitive_deps": (g.transitive_deps, g.TRANSITIVE_DEPS_SQL),
     "reverse_dependencies": (g.reverse_dependencies, g.REVERSE_DEPS_SQL),
     "trace_call_chain": (g.trace_call_chain, g.TRACE_CALL_CHAIN_SQL),
+    "complexity_hotspots": (g.complexity_hotspots, g.COMPLEXITY_HOTSPOTS_SQL),
     # inverted-index / BM25 (SQL-expressible slice)
     "doc_stats": (tx.doc_stats, tx.DOC_STATS_SQL),
     "dictionary_stats": (tx.dictionary_stats, tx.DICTIONARY_STATS_SQL),
@@ -72,6 +73,10 @@ REGISTRY: dict = {
     "search_chunks_with_context": (
         ck.search_chunks_with_context,
         ck.SEARCH_CHUNKS_WITH_CONTEXT_SQL,
+    ),
+    "search_docs_via_chunks": (
+        ck.search_docs_via_chunks,
+        ck.SEARCH_DOCS_VIA_CHUNKS_SQL,
     ),
     "rerank_topk": (rr.rerank_topk, rr.RERANK_TOPK_SQL),
     "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
