@@ -106,6 +106,14 @@ def main() -> None:
     batch = idx.topk_batch(queries, k=10, mode="taat").collect()
     timings["bm25_batch_taat"] = round(time.time() - t0, 3)
 
+    # all queries in ONE MaxScore plan — the cluster-shape number: a
+    # query SERVICE amortizes scheduling floors across a batch, so
+    # per-query cost is batch_wall / |queries|, not the p50 below
+    t0 = time.time()
+    idx.topk_batch(queries, k=10, mode="maxscore").collect()
+    batch_ms_wall = time.time() - t0
+    timings["bm25_batch_maxscore"] = round(batch_ms_wall, 3)
+
     lat = []
     for qid, qtext in queries[:12]:
         t0 = time.time()
@@ -172,6 +180,7 @@ def main() -> None:
         "postings_per_sec": metrics.get("postings_per_sec"),
         "total_postings": metrics.get("total_postings"),
         "bm25_results": len(batch),
+        "maxscore_queries_per_sec": round(len(queries) / batch_ms_wall, 2),
         "scaling_efficiency_n_to_4n_stored": scaling_eff,
         "scaling_efficiency_source": scaling_src,
     }

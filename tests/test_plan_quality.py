@@ -1,0 +1,81 @@
+"""Plan-quality gates: the physical plans the registry queries ship
+with must stay the plans you'd want at 100 TB — filters pushed to the
+parquet scan, columns pruned, small sides broadcast, no shuffle where
+the operator doesn't need one.  A refactor that silently turns a
+broadcast into a sort-merge join or adds an exchange to a map-only
+stage fails HERE, not in a 1000-executor postmortem."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_metadata_filters_are_pushed_to_scan(spark):
+    from codegraph_rust_spark.functions.textops import metadata_search_filters
+
+    p = _plan(metadata_search_filters(spark, SF))
+    # categorical isin + numeric range reach the parquet reader
+    assert "PushedFilters" in p
+    assert "In(lang" in p and "GreaterThanOrEqual(n_chars,500)" in p
+
+
+def test_projection_prunes_scan_columns(spark):
+    from codegraph_rust_spark.functions.textops import find_docs_by_term
+
+    p = _plan(find_docs_by_term(spark, SF))
+    # the scan must not read the full documents schema for a 2-column result
+    assert "ReadSchema" in p
+    scan_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in scan_schema and "source" not in scan_schema
+
+
+def test_chunking_is_a_pure_map_stage(spark):
+    from codegraph_rust_spark.functions.chunking import chunk_documents
+
+    p = _plan(chunk_documents(spark, SF))
+    assert "Exchange" not in p, "chunking must not shuffle"
+
+
+def test_exact_dedup_is_one_shuffle(spark):
+    from codegraph_rust_spark.functions.textops import exact_dedup_groups
+
+    p = _plan(exact_dedup_groups(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    # partial aggregation (map-side combine) before the exchange
+    assert p.count("HashAggregate") == 2
+
+
+def test_knn_broadcasts_query_not_corpus(spark):
+    from codegraph_rust_spark.functions.textops import knn_bruteforce
+
+    p = _plan(knn_bruteforce(spark, SF))
+    assert "Broadcast" in p
+    assert "Exchange hashpartitioning" not in p, (
+        "brute-force knn must be scan + broadcast + TakeOrdered, no hash shuffle"
+    )
+
+
+def test_context_enrichment_broadcasts_topk_side(spark):
+    from codegraph_rust_spark.functions.indexed import context_enriched_topk
+
+    p = _plan(context_enriched_topk(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, (
+        "both corpus joins must build from the k-row broadcast side"
+    )
+    # the only sort-merge join allowed is the k-row full-outer fusion
+    # inside hybrid_index_topk (both sides already TakeOrdered results)
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_embedder_is_one_shuffle_with_partial_aggs(spark):
+    from codegraph_rust_spark.functions.embedder import embed_documents
+
+    p = _plan(embed_documents(spark, SF))
+    # explode → partial agg → single exchange → final agg (+ the
+    # left join back to documents for empty docs)
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "HashAggregate" in p
