@@ -10,9 +10,10 @@ cheaper than 64 independent string hashes at 100 TB).  SimHash takes
 its 64 term-hash bits from the first 16 hex digits of md5(term),
 carried as two uint32 halves so every bit op stays in non-negative
 int64 range where Spark's and DuckDB's shift/and/xor semantics agree
-exactly.  (xxhash64 would be a cheaper per-row hash for a pure
-production build — swapping the two `_md5_*` helpers is the only
-change — but md5 buys an engine-independent oracle.)
+exactly.  (xxhash64 is the cheaper per-row hash for a pure production
+build — pass ``family='xxh64'`` to either operator; md5, the default,
+buys an engine-independent oracle.  Recall gates run for BOTH
+families.)
 
 Recall gates beyond the oracle (tests/test_dedup.py): MinHash vs exact
 trigram-Jaccard pairs; SimHash vs exact Hamming pairs, where
@@ -79,13 +80,31 @@ def _md5_60(col) -> Column:
 _MD5_60_SQL = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_x(col, family: str) -> Column:
+    """Shingle → x ∈ [0, P) for the Carter-Wegman family.
+
+    family='md5' (default) is bit-replayable in DuckDB — the oracled
+    registry path.  family='xxh64' is the cheaper production swap (no
+    hex/string round-trip; same downstream pipeline, same recall
+    guarantees — only the oracle is lost).  This is THE documented
+    production dial for the dedup family."""
+    if family == "md5":
+        return _md5_60(col) % MINHASH_P
+    if family == "xxh64":
+        return F.pmod(F.xxhash64(col), F.lit(MINHASH_P))
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """doc_id → h0..h{N_HASHES-1} minhash signature over word trigrams,
     built in ONE groupBy (each hash = min over shingles of
-    (a_i·x + b_i) mod P, x = md5-60(shingle) mod P).  Shingle strings
-    are hashed to int64 BEFORE the shuffle so only 8-byte keys cross."""
+    (a_i·x + b_i) mod P, x from the chosen hash family).  Shingle
+    strings are hashed to int64 BEFORE the shuffle so only 8-byte keys
+    cross."""
     sh = _trigrams(spark, sf_dir).select(
-        "doc_id", (_md5_60(F.col("sh")) % MINHASH_P).alias("x")
+        "doc_id", _shingle_x(F.col("sh"), family).alias("x")
     )
     return sh.groupBy("doc_id").agg(
         *[
@@ -95,16 +114,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidate pairs over word trigrams.
 
     shingle → minhash signature (single groupBy, see module doc) →
     band signature → bucket self-join; returns distinct candidate
     pairs (doc_a < doc_b).  More hashes / narrower bands than the
     textbook 16×4 raise precision; band count raises recall — both are
-    module constants.
+    module constants.  ``family`` is the oracle-vs-production hash
+    dial (see ``_shingle_x``).
     """
-    sig = minhash_signatures(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir, family=family)
     n_bands = N_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -297,21 +319,31 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 
 
-def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_halves(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """(doc_id, lo_fp, hi_fp) — the 64-bit SimHash carried as two
     uint32 halves so every downstream bit op stays in non-negative
     int64 range (where Spark and DuckDB shift/and/xor agree exactly).
 
-    tf-weighted bit voting over the first 64 bits of md5(token),
-    entirely in JVM codegen (no Python UDF): vote_j = Σ_token_instances
-    (2·bit_j − 1); bit j of the fingerprint is set when vote_j > 0.
-    Summing per token INSTANCE is identical to tf-weighting unique
-    tokens.  One shuffle (groupBy doc_id) with map-side partial
-    aggregation."""
+    tf-weighted bit voting over 64 term-hash bits (md5 by default —
+    the oracled family; family='xxh64' is the cheaper production swap,
+    same pigeonhole guarantees), entirely in JVM codegen (no Python
+    UDF): vote_j = Σ_token_instances (2·bit_j − 1); bit j of the
+    fingerprint is set when vote_j > 0.  Summing per token INSTANCE is
+    identical to tf-weighting unique tokens.  One shuffle (groupBy
+    doc_id) with map-side partial aggregation."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
-    lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    hi = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
+    if family == "md5":
+        lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
+    elif family == "xxh64":
+        h = F.xxhash64("term")
+        lo = h.bitwiseAND(F.lit((1 << 32) - 1))
+        hi = F.shiftrightunsigned(h, 32)
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -348,11 +380,13 @@ def simhash_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash64(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """(doc_id, simhash) with the halves packed into one int64 — bit 31
     of hi_fp lands in the sign bit via shiftleft's natural wrap (two's
     complement), matching a plain uint64→int64 reinterpretation."""
-    h = simhash_halves(spark, sf_dir)
+    h = simhash_halves(spark, sf_dir, family=family)
     return h.select(
         "doc_id",
         F.shiftleft(F.col("hi_fp"), 32).bitwiseOR(F.col("lo_fp")).alias("simhash"),
@@ -502,7 +536,7 @@ def _band_val_sql(off: int, w: int) -> str:
 
 
 def simhash_near_pairs(
-    spark: SparkSession, sf_dir: str, d: int = 8
+    spark: SparkSession, sf_dir: str, d: int = 8, family: str = "md5"
 ) -> DataFrame:
     """All pairs within Hamming distance ≤ d of each other's SimHash.
 
@@ -511,7 +545,7 @@ def simhash_near_pairs(
     halves) verifies.  See the module docstring for the
     d-vs-bucket-width scale trade-off (Manku et al. use d=3 for 64-bit
     fingerprints at web scale)."""
-    sh = simhash_halves(spark, sf_dir)
+    sh = simhash_halves(spark, sf_dir, family=family)
     specs = _band_specs(d)
     banded = sh.select(
         "doc_id",

@@ -55,10 +55,16 @@ def test_ngram_jaccard_orders_near_dups(spark, mini_dir):
     assert pairs[(0, 5)] > 0.5            # superset
 
 
-def test_minhash_lsh_catches_exact_and_near(spark, mini_dir):
+@pytest.mark.parametrize("family", ["md5", "xxh64"])
+def test_minhash_lsh_catches_exact_and_near(spark, mini_dir, family):
+    """Both hash families — md5 (oracled) and xxh64 (production
+    swap) — must satisfy the same recall structure."""
     from codegraph_rust_spark.functions.dedup_approx import minhash_lsh_pairs
 
-    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, mini_dir).collect()}
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, mini_dir, family=family).collect()
+    }
     assert (0, 1) in cand                 # identical → all bands collide
     assert (3, 4) not in cand             # disjoint vocab must not collide
     # near-dups (0,2)/(0,5): banding is probabilistic in general but
@@ -66,7 +72,8 @@ def test_minhash_lsh_catches_exact_and_near(spark, mini_dir):
     assert (0, 2) in cand or (0, 5) in cand
 
 
-def test_simhash_near_pairs_recall_is_exact(spark, tmp_path_factory):
+@pytest.mark.parametrize("family", ["md5", "xxh64"])
+def test_simhash_near_pairs_recall_is_exact(spark, tmp_path_factory, family):
     """Pigeonhole banding must find EVERY pair at hamming ≤ d (recall
     1.0 by construction) and nothing below the threshold — verified
     against a brute-force all-pairs hamming computation on a corpus of
@@ -98,7 +105,7 @@ def test_simhash_near_pairs_recall_is_exact(spark, tmp_path_factory):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
 
-    sh = {r["doc_id"]: r["simhash"] for r in simhash64(spark, d).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(spark, d, family=family).collect()}
     D = 8
     expected = {
         (a, b)
@@ -108,7 +115,7 @@ def test_simhash_near_pairs_recall_is_exact(spark, tmp_path_factory):
     assert expected, "fixture must produce at least one near pair"
     got = {
         (r["doc_a"], r["doc_b"])
-        for r in simhash_near_pairs(spark, d, d=D).collect()
+        for r in simhash_near_pairs(spark, d, d=D, family=family).collect()
     }
     assert got == expected
 
