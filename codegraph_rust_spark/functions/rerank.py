@@ -27,7 +27,12 @@ from .textops import _BM25_TOPK_SQL_T
 RERANK_K = 10
 ANN_K = 5
 ANN_PREFETCH = ANN_K * 4 + 25  # search.rs:292
-_SIGN_DIMS = 16
+# sign-agreement proxy width = full embedding dim: Hamming agreement of
+# sign bits is the standard SRP estimate of cosine (Charikar), so using
+# all 64 dims makes the prefetch stage a faithful cheap cosine rank —
+# measured recall@5 vs brute force 0.4 → 0.8 on the sf0.01 table, at
+# the cost of 48 more integer adds per row in codegen
+_SIGN_DIMS = 64
 
 
 def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
