@@ -15,6 +15,7 @@ from . import embedder as em
 from . import graph as g
 from . import indexed as ix
 from . import multimodal as mm
+from . import pipeline as pl
 from . import relational as r
 from . import rerank as rr
 from . import textops as tx
@@ -68,6 +69,10 @@ REGISTRY: dict = {
     "simhash_near_pairs": (da.simhash_near_pairs, da.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
     "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
+    "curate_training_sample": (
+        pl.curate_training_sample,
+        pl.CURATE_TRAINING_SAMPLE_SQL,
+    ),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
     "search_chunks_with_context": (
