@@ -126,7 +126,13 @@ def minhash_lsh_pairs(
     module constants.  ``family`` is the oracle-vs-production hash
     dial (see ``_shingle_x``).
     """
-    sig = minhash_signatures(spark, sf_dir, family=family)
+    # materialize the signature table before the band self-join: both
+    # join sides reference it, and without a checkpoint Spark derives
+    # the whole shingle→min-agg pipeline TWICE.  n_docs × 64 longs —
+    # small relative to the corpus at any scale.
+    sig = minhash_signatures(spark, sf_dir, family=family).localCheckpoint(
+        eager=True
+    )
     n_bands = N_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -336,14 +342,20 @@ def simhash_halves(
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
     if family == "md5":
-        lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-        hi = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
+        lo_e = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        hi_e = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
     elif family == "xxh64":
         h = F.xxhash64("term")
-        lo = h.bitwiseAND(F.lit((1 << 32) - 1))
-        hi = F.shiftrightunsigned(h, 32)
+        lo_e = h.bitwiseAND(F.lit((1 << 32) - 1))
+        hi_e = F.shiftrightunsigned(h, 32)
     else:
         raise ValueError(f"unknown hash family {family!r}")
+    # MATERIALIZE the hash halves in a projection before aggregating:
+    # inlining lo/hi into the 64 vote aggregates makes Spark evaluate
+    # the md5+conv chain once PER AGGREGATE per row (measured 16.7s →
+    # 2.5s on the sf0.1 token table for this exact groupBy)
+    toks = toks.select("doc_id", lo_e.alias("lo"), hi_e.alias("hi"))
+    lo, hi = F.col("lo"), F.col("hi")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -545,7 +557,9 @@ def simhash_near_pairs(
     halves) verifies.  See the module docstring for the
     d-vs-bucket-width scale trade-off (Manku et al. use d=3 for 64-bit
     fingerprints at web scale)."""
-    sh = simhash_halves(spark, sf_dir, family=family)
+    # materialize fingerprints before the band self-join (both sides
+    # reference them — see minhash_lsh_pairs); n_docs × 2 longs
+    sh = simhash_halves(spark, sf_dir, family=family).localCheckpoint(eager=True)
     specs = _band_specs(d)
     banded = sh.select(
         "doc_id",

@@ -43,7 +43,13 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash votes.  Empty docs keep an all-zero row."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_TOKS()).alias("term"))
-    lo = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    # materialize the hash before the aggregates — inlined exprs are
+    # re-evaluated once per aggregate per row (see simhash_halves)
+    toks = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("lo"),
+    )
+    lo = F.col("lo")
     dim = lo % EMBED_DIM
     sign = F.shiftrightunsigned(lo, 3).bitwiseAND(F.lit(1)) * 2 - 1
     emb = toks.groupBy("doc_id").agg(
