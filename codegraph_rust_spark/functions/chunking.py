@@ -27,35 +27,63 @@ CHUNK_OVERLAP = 64
 CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP  # 448
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, chunk_index, n_tokens, chunk_hash).
 
-    chunk_hash = md5 of the space-joined token window (the compact,
-    driver-hashable witness of the chunk text; the text itself is
-    ``array_join(slice(tokens, start, SIZE), ' ')``)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
-    n = F.size("a")
-    n_chunks = (
+def n_chunks_col(n):
+    """Chunk count for an n-token doc at the 512/64 geometry — the ONE
+    definition every consumer (chunker, chunk search, curation
+    pipeline) shares."""
+    return (
         F.when(n <= 0, F.lit(0))
         .when(n <= CHUNK_SIZE, F.lit(1))
         .otherwise(
             F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("int") + 1
         )
     )
-    # filter empties BEFORE the explode: Spark's sequence(0, -1) counts
-    # DOWN ([0, -1]) instead of returning an empty array
+
+
+def _exploded_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_index, window array<string>) — one row per chunk,
+    shared by the chunker and both chunk-search operators.  Filter
+    empties BEFORE the explode: Spark's sequence(0, -1) counts DOWN
+    ([0, -1]) instead of returning an empty array."""
+    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
+    n = F.size("a")
     c = d.filter(n > 0).select(
         "doc_id",
         "a",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        F.explode(F.sequence(F.lit(0), n_chunks_col(n) - 1)).alias("chunk_index"),
     )
     start = F.col("chunk_index") * CHUNK_STEP
-    window = F.slice("a", start + 1, CHUNK_SIZE)
     return c.select(
+        "doc_id", "chunk_index", F.slice("a", start + 1, CHUNK_SIZE).alias("window")
+    )
+
+
+def _chunk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_index, chunk_score) — query-term instance count
+    per chunk window."""
+    w = _exploded_windows(spark, sf_dir)
+    return w.select(
         "doc_id",
         "chunk_index",
-        F.size(window).alias("n_tokens"),
-        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+        F.size(
+            F.filter(F.col("window"), lambda x: x.isin(*BM25_QUERY_TERMS))
+        ).alias("chunk_score"),
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, chunk_index, n_tokens, chunk_hash).
+
+    chunk_hash = md5 of the space-joined token window (the compact,
+    driver-hashable witness of the chunk text; the text itself is
+    ``array_join(slice(tokens, start, SIZE), ' ')``)."""
+    w = _exploded_windows(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        "chunk_index",
+        F.size("window").alias("n_tokens"),
+        F.md5(F.array_join("window", " ")).alias("chunk_hash"),
     )
 
 
@@ -72,29 +100,7 @@ def search_chunks_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     (natural key, no skew), global top-20 via TakeOrderedAndProject.
     The chunk explode is a pure map stage — one corpus pass, one
     window shuffle, one parent join."""
-    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
-    n = F.size("a")
-    n_chunks = (
-        F.when(n <= 0, F.lit(0))
-        .when(n <= CHUNK_SIZE, F.lit(1))
-        .otherwise(
-            F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("int") + 1
-        )
-    )
-    c = d.filter(n > 0).select(
-        "doc_id",
-        "a",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
-    )
-    start = F.col("chunk_index") * CHUNK_STEP
-    window = F.slice("a", start + 1, CHUNK_SIZE)
-    scored = c.select(
-        "doc_id",
-        "chunk_index",
-        F.size(F.filter(window, lambda x: x.isin(*BM25_QUERY_TERMS))).alias(
-            "chunk_score"
-        ),
-    )
+    scored = _chunk_scores(spark, sf_dir)
     per_doc = Window.partitionBy("doc_id").orderBy(
         F.desc("chunk_score"), F.asc("chunk_index")
     )
@@ -136,28 +142,7 @@ def search_docs_via_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     match_source tells a consumer which leg found the doc — 'chunks'
     or 'text' — exactly the reference's match_sources field."""
     d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
-    n = F.size("a")
-    n_chunks = (
-        F.when(n <= 0, F.lit(0))
-        .when(n <= CHUNK_SIZE, F.lit(1))
-        .otherwise(
-            F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("int") + 1
-        )
-    )
-    c = d.filter(n > 0).select(
-        "doc_id",
-        "a",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
-    )
-    start = F.col("chunk_index") * CHUNK_STEP
-    window = F.slice("a", start + 1, CHUNK_SIZE)
-    chunk_scored = c.select(
-        "doc_id",
-        "chunk_index",
-        F.size(F.filter(window, lambda x: x.isin(*BM25_QUERY_TERMS))).alias(
-            "chunk_score"
-        ),
-    ).filter(F.col("chunk_score") > 0)
+    chunk_scored = _chunk_scores(spark, sf_dir).filter(F.col("chunk_score") > 0)
     hits = (
         chunk_scored.orderBy(
             F.desc("chunk_score"), F.asc("doc_id"), F.asc("chunk_index")

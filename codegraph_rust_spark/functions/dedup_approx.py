@@ -439,11 +439,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor loss cannot drop iteration state."""
     from .textops import ngram_jaccard_pairs
 
-    pairs = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # ngram_jaccard_pairs already returns an eagerly-checkpointed pair
+    # set (it materializes before releasing its shingle cache) — no
+    # second checkpoint here
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # undirected adjacency
     adj = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

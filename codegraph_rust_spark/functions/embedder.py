@@ -109,8 +109,6 @@ def embed_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces ``_hash_embed_batch`` with its HTTP/ONNX call; batch size
     (= Arrow batch size, spark.sql.execution.arrow.maxRecordsPerBatch)
     is the provider's batching discipline."""
-    from ..operators.xxhash import xxh64_str  # noqa: F401  (worker import check)
-
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _hash_embed_batch(texts: list) -> np.ndarray:

@@ -331,14 +331,17 @@ def complexity_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Webtext mapping: complexity(doc) = distinct-token ratio ×
     ln(1 + n_tokens) (lexical complexity — the analog of cyclomatic
-    complexity for prose); the coupling graph is the deterministic
-    doc-id functional ⊕ involution edge set (same graph
-    trace_call_chain walks).  The 2×limit overfetch joins only ~40
-    rows against the degree aggregates (broadcast the overfetch side);
-    the corpus-wide degree aggregation is one shuffle."""
+    complexity for prose); the coupling graph is a deterministic
+    doc-id functional ⊕ involution edge set (same CONSTRUCTION as the
+    part-table graph trace_call_chain walks, but over doc ids).  The
+    2×limit overfetch joins only ~40 rows against the degree
+    aggregates (broadcast the overfetch side); the corpus-wide degree
+    aggregation is one shuffle."""
+    from .textops import _TOKS
+
     d = t(spark, sf_dir, "documents")
-    mx = d.agg(F.max("doc_id")).collect()[0][0] + 1
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    mx = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    toks = _TOKS()
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
     scored = (

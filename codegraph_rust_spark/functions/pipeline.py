@@ -16,9 +16,11 @@ Stage semantics (all thresholds are module constants = scale dials):
 1. language: the en-bigram-rate heuristic ≥ LANG_RATE (lang_id).
 2. quality: alpha_ratio ≥ MIN_ALPHA and n_words ≥ MIN_WORDS.
 3. exact dedup: keep min doc_id per md5(text) group.
-4. near-dup: keep the component representative (min doc_id) of the
-   trigram-Jaccard ≥ 0.1 candidate graph; non-representative members
-   are dropped even when their exact hash was unique.
+4. near-dup: one representative per component of the trigram-Jaccard
+   ≥ 0.1 candidate graph — the min doc_id AMONG THE SURVIVORS of the
+   earlier stages, so a cluster whose global representative was
+   already filtered out (too short, wrong language, …) still
+   contributes its best remaining member instead of vanishing.
 5. output: curated doc ids + the metrics a downstream trainer reads
    (token count, chunk count at the 512/64 geometry).
 """
@@ -27,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .chunking import CHUNK_SIZE, CHUNK_STEP
+from .chunking import CHUNK_SIZE, CHUNK_STEP, n_chunks_col
 from .common import t
 from .dedup_approx import NEARDUP_COMPONENTS_SQL, neardup_components
 from .textops import _TOKS
@@ -74,25 +76,25 @@ def curate_training_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    # near-dup: component representative (min doc_id ≡ component id).
-    # neardup_components runs over the FULL corpus (its own oracle
-    # contract); members whose component id differs are dropped here.
+    pre = base.join(keep_exact, "doc_id", "left_semi")
+    # near-dup: label each SURVIVOR with its component (its own id when
+    # it is in no duplicate cluster), then keep the min surviving
+    # doc_id per component — NOT the global component representative,
+    # which may itself have been filtered out upstream (in which case
+    # the whole cluster would silently vanish)
     nd = neardup_components(spark, sf_dir)
-    non_canonical = nd.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    curated = (
-        base.join(keep_exact, "doc_id", "left_semi")
-        .join(non_canonical, "doc_id", "left_anti")
+    labeled = pre.join(nd, "doc_id", "left").withColumn(
+        "comp", F.coalesce("component", "doc_id")
     )
-    n = F.col("n_words")
-    n_chunks = (
-        F.when(n <= 0, F.lit(0))
-        .when(n <= CHUNK_SIZE, F.lit(1))
-        .otherwise(
-            F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("int") + 1
-        )
+    keep_nd = labeled.groupBy("comp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
     )
+    curated = pre.join(keep_nd, "doc_id", "left_semi")
     return curated.select(
-        "doc_id", "n_words", "alpha_ratio", n_chunks.alias("n_chunks")
+        "doc_id",
+        "n_words",
+        "alpha_ratio",
+        n_chunks_col(F.col("n_words")).alias("n_chunks"),
     )
 
 
@@ -118,11 +120,17 @@ keep_exact AS (
   SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
 ),
 nd AS ({NEARDUP_COMPONENTS_SQL}),
-non_canonical AS (SELECT doc_id FROM nd WHERE doc_id != component),
-curated AS (
+pre AS (
   SELECT f.* FROM filtered f
   WHERE f.doc_id IN (SELECT doc_id FROM keep_exact)
-    AND f.doc_id NOT IN (SELECT doc_id FROM non_canonical)
+),
+labeled AS (
+  SELECT p.doc_id, coalesce(n.component, p.doc_id) AS comp
+  FROM pre p LEFT JOIN nd n ON n.doc_id = p.doc_id
+),
+keep_nd AS (SELECT min(doc_id) AS doc_id FROM labeled GROUP BY comp),
+curated AS (
+  SELECT p.* FROM pre p WHERE p.doc_id IN (SELECT doc_id FROM keep_nd)
 )
 SELECT doc_id, cast(n_words AS int) AS n_words, alpha_ratio,
        CASE WHEN n_words <= 0 THEN 0

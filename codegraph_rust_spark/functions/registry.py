@@ -3,8 +3,9 @@
 Analog of the reference's 15+ ``DEFINE FUNCTION fn::*`` stored query
 templates (schema/codegraph.surql:13-1076) — Python functions that
 return DataFrames, paired with the DuckDB oracle SQL the driver runs
-side-by-side at sf0.01.  Entries whose semantics depend on Spark's
-hash functions (minhash/simhash) have no SQL mirror → rows-only check.
+side-by-side at sf0.01.  EVERY entry carries an oracle: operators that
+once depended on engine-specific hashing (minhash/simhash) were
+re-keyed to an md5-derived family both engines compute identically.
 """
 
 from __future__ import annotations
