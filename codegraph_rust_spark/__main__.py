@@ -1,0 +1,148 @@
+"""CLI — the reference's ``codegraph index <path>`` / query surface
+(crates/codegraph-mcp CLI: index, search) re-expressed:
+
+    python -m codegraph_rust_spark index  PAGES_PARQUET INDEX_DIR
+    python -m codegraph_rust_spark query  INDEX_DIR "query text" [-k 10]
+    python -m codegraph_rust_spark watch  WATCH_DIR INDEX_DIR
+    python -m codegraph_rust_spark stats  INDEX_DIR
+
+Run with PYTHONPATH pointing at the repo (or spark-submit --py-files)
+so executors can import the package — see README "Running".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(cpus: str, shuffle: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("codegraph_rust_spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle))
+    s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_index(args) -> None:
+    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.plans.build import build_index
+
+    spark = _spark(args.cpus, args.cpus_int * 2)
+    cfg = IndexConfig(
+        analyzer=args.analyzer,
+        input_partitions=args.cpus_int * 2,
+        salt_df_threshold=args.salt_threshold,
+    )
+    pages = spark.read.parquet(args.pages)
+    t0 = time.time()
+    metrics = build_index(spark, pages, args.index_dir, cfg, resume=not args.fresh)
+    metrics["wall_s"] = round(time.time() - t0, 3)
+    print(json.dumps(metrics, default=str))
+
+
+def cmd_query(args) -> None:
+    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.operators.topk import InvertedIndex
+
+    spark = _spark(args.cpus)
+    cfg = IndexConfig(analyzer=args.analyzer)
+    idx = InvertedIndex(spark, args.index_dir, cfg)
+    t0 = time.time()
+    df = idx.topk(args.text, k=args.k, mode=args.mode)
+    if args.urls:
+        df = idx.with_urls(df)
+    rows = [r.asDict() for r in df.collect()]
+    print(json.dumps({"wall_s": round(time.time() - t0, 3), "hits": rows}))
+
+
+def cmd_watch(args) -> None:
+    from codegraph_rust_spark.streaming.watch import watch_pages
+
+    spark = _spark(args.cpus)
+    q = watch_pages(
+        spark,
+        args.watch_dir,
+        args.index_dir,
+        available_now=args.once,
+        processing_time=None if args.once else f"{args.interval} seconds",
+    )
+    q.awaitTermination()
+
+
+def cmd_stats(args) -> None:
+    from codegraph_rust_spark.sources.catalog import Catalog
+
+    spark = _spark(args.cpus)
+    cat = Catalog(args.index_dir)
+    out = {}
+    row = cat.read(spark, "corpus_stats").collect()[0]
+    out["corpus"] = {k: row[k] for k in row.asDict()}
+    from pyspark.sql import functions as F
+
+    post = cat.read(spark, "postings")
+    agg = post.agg(
+        F.sum("n").alias("postings"),
+        F.approx_count_distinct("term_id").alias("terms"),
+    ).collect()[0]
+    out["postings"] = int(agg["postings"] or 0)
+    out["approx_terms"] = int(agg["terms"] or 0)
+    out["bytes"] = {
+        t: cat.bytes(t) for t in ("tokenized", "dictionary", "postings")
+    }
+    print(json.dumps(out, default=str))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="codegraph_rust_spark")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build (or resume) an index over a pages parquet")
+    p.add_argument("pages")
+    p.add_argument("index_dir")
+    p.add_argument("--analyzer", default="snowball", choices=["snowball", "simple"])
+    p.add_argument("--salt-threshold", type=int, default=200_000)
+    p.add_argument("--fresh", action="store_true", help="ignore resume state")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("query", help="BM25 top-k against a built index")
+    p.add_argument("index_dir")
+    p.add_argument("text")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--mode", default="maxscore", choices=["maxscore", "taat"])
+    p.add_argument("--analyzer", default="snowball", choices=["snowball", "simple"])
+    p.add_argument("--urls", action="store_true", help="attach urls to hits")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("watch", help="keep an index updated from a drop directory")
+    p.add_argument("watch_dir")
+    p.add_argument("index_dir")
+    p.add_argument("--once", action="store_true", help="drain and exit")
+    p.add_argument("--interval", type=int, default=5)
+    p.set_defaults(fn=cmd_watch)
+
+    p = sub.add_parser("stats", help="index statistics")
+    p.add_argument("index_dir")
+    p.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    args.cpus_int = int(str(args.cpus).strip("*") or 8) if str(args.cpus).isdigit() else 8
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
