@@ -99,7 +99,7 @@ FROM lineitem GROUP BY 1, 2
 
 def _part_edges(spark, sf_dir):
     p = t(spark, sf_dir, "part")
-    mx = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    mx = (p.agg(F.max("p_partkey")).collect()[0][0] or 0) + 1
     return p.select(
         F.col("p_partkey").alias("from_id"),
         ((F.col("p_partkey") * 37 + 11) % F.lit(mx)).alias("to_id"),
@@ -117,7 +117,7 @@ def _involution_edges(spark, sf_dir):
     """Edges guaranteed to contain 2-cycles: to = (M - p) mod M is an
     involution, so (a, M-a) and (M-a, a) both exist."""
     p = t(spark, sf_dir, "part")
-    mx = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    mx = (p.agg(F.max("p_partkey")).collect()[0][0] or 0) + 1
     return p.select(
         F.col("p_partkey").alias("from_id"),
         ((F.lit(mx) - F.col("p_partkey")) % F.lit(mx)).alias("to_id"),

@@ -121,7 +121,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
     toks = _toks_df(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -183,11 +183,19 @@ def derived_stages(
     if not done.get(POSTINGS):
         def _postings():
             est_rows = int(n_docs * max(avgdl, 1.0) * 0.85)
-            cat.write(
-                build_postings(tokenized, dictionary, cfg, est_rows=est_rows),
-                POSTINGS,
-                partition_by=["tbucket"],
-            )
+            post = build_postings(tokenized, dictionary, cfg, est_rows=est_rows)
+            cat.write(post, POSTINGS, partition_by=["tbucket"])
+            # an EMPTY partitioned write leaves zero data files, which
+            # makes the table unreadable (no schema to infer); rewrite
+            # the empty frame unpartitioned so tbucket survives as a
+            # regular column and readers still work on a 0-doc corpus
+            import glob as _glob
+
+            if not _glob.glob(
+                os.path.join(cat.path(POSTINGS), "**", "*.parquet"),
+                recursive=True,
+            ):
+                cat.write(post.limit(0), POSTINGS)
         timed(POSTINGS, _postings)
 
     total = write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
