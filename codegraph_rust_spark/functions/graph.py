@@ -345,7 +345,10 @@ def complexity_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
     scored = (
-        d.select(
+        # n > 0 BEFORE the ratio: ANSI mode raises DIVIDE_BY_ZERO on
+        # empty/whitespace docs (the oracle's len(a) > 0 twin)
+        d.filter(n > 0)
+        .select(
             "doc_id",
             F.round(
                 nd.cast("double") / n.cast("double") * F.log(F.lit(1.0) + n),

@@ -361,16 +361,24 @@ FROM documents GROUP BY 1
 
 
 def _trigrams(spark, sf_dir):
+    # docs with < 3 tokens produce no trigrams — filter BEFORE the
+    # transform: under ANSI mode a[i] on an out-of-range index raises
+    # (an empty or 2-token doc used to crash the whole job); with the
+    # filter, i ranges over [0, size-3] so every a[i+2] is in bounds
     d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(a) - 3, 0)), "
-                "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
-            )
-        ).alias("sh"),
-    ).filter(F.size(F.split(F.col("sh"), " ")) == 3).distinct()
+    return (
+        d.filter(F.size("a") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 3), "
+                    "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
 
 
 # Shingles appearing in more than this many docs are dropped before the

@@ -34,3 +34,41 @@ def test_every_registry_entry_survives_empty_tables(spark, empty_dir):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             fails.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
     assert not fails, "\n".join(fails)
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir(spark, tmp_path_factory, empty_dir):
+    """Same table set, but documents contains NULL-text / NULL-lang
+    rows among normal ones — the dirty rows a real crawl feed has."""
+    d = str(tmp_path_factory.mktemp("sf_null"))
+    for tname in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        spark.read.parquet(os.path.join(empty_dir, tname + ".parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, tname + ".parquet"))
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+        (1, None, "en", "s", None),
+        (2, "", None, "s", 0),
+        (3, "hot key agg row scan data words here", "en", None, 36),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_document_entries_survive_null_text(spark, nulltext_dir):
+    from codegraph_rust_spark.functions import registry
+
+    # every entry that reads documents (graph/events/embeddings ops are
+    # empty-table covered above) must tolerate NULL text/lang rows
+    fails = []
+    for name, fn in registry.queries().items():
+        try:
+            fn(spark, nulltext_dir).count()
+        except Exception as e:  # noqa: BLE001
+            fails.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
+    assert not fails, "\n".join(fails)
