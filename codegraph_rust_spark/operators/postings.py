@@ -115,6 +115,15 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     use_html = "html" in cols
     analyzer = cfg.analyzer
 
+    # Unkeyable rows are DROPPED, explicitly: a null url (hash mode) or
+    # null doc_id (provided mode) cannot be upserted, deduped, resumed
+    # or change-detected — and xxhash64(NULL) is a constant, so two
+    # distinct null-url pages would silently collapse into one doc.
+    if cfg.doc_id_mode == "hash" and "url" in cols:
+        pages = pages.filter(F.col("url").isNotNull())
+    elif "doc_id" in cols:
+        pages = pages.filter(F.col("doc_id").isNotNull())
+
     if cfg.doc_id_mode == "hash":
         # doc_id = xxhash64(url) requires url uniqueness (a duplicate url
         # would double its postings and inflate df/n_docs; MaxScore and
