@@ -48,6 +48,7 @@ REGISTRY: dict = {
     "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
     "term_postings": (tx.term_postings, tx.TERM_POSTINGS_SQL),
     "bm25_topk": (tx.bm25_topk, tx.BM25_TOPK_SQL),
+    "bm25_topk_filtered": (tx.bm25_topk_filtered, tx.BM25_TOPK_FILTERED_SQL),
     # engine-backed: the Spark side decodes the compressed postings index
     "bm25_index_topk": (ix.bm25_index_topk, ix.BM25_INDEX_TOPK_SQL),
     "hybrid_index_topk": (ix.hybrid_index_topk, ix.HYBRID_INDEX_TOPK_SQL),

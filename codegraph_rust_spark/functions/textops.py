@@ -189,6 +189,48 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 BM25_TOPK_SQL = _BM25_TOPK_SQL_T.format(k=10)
 
 
+def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k restricted by a metadata SearchFilters predicate —
+    the reference composes typed filters onto text search
+    (crates/codegraph-vector/src/search.rs SearchFilters applied to the
+    candidate set; surql WHERE + @@ conjunctions).  Semantics: scores
+    use FULL-corpus statistics (df, N, avgdl — the index is global),
+    the predicate prunes candidates, top-k is of the filtered set.
+
+    The metadata predicate reaches the parquet scan of the candidate
+    join side (lang isin + n_chars range are pushable); at the engine
+    tier the same composition is overfetch-then-filter-then-refill —
+    here the exhaustive scoring keeps the entry oracle-exact."""
+    from pyspark.sql import Window
+
+    scored = bm25_topk(spark, sf_dir, k=10 ** 6)  # full ranking, filtered below
+    meta = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & F.col("n_chars").between(500, 5000)
+    ).select("doc_id", "lang", "n_chars")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.drop("rank")
+        .join(meta, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "lang", "n_chars", "rank")
+    )
+
+
+BM25_TOPK_FILTERED_SQL = f"""
+WITH ranked AS ({_BM25_TOPK_SQL_T.format(k=10 ** 6)}),
+meta AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE lang IN ('en', 'de') AND n_chars BETWEEN 500 AND 5000
+)
+SELECT r.doc_id, r.score, m.lang, m.n_chars,
+       cast(row_number() OVER (ORDER BY r.score DESC, r.doc_id) AS int) AS rank
+FROM ranked r JOIN meta m ON m.doc_id = r.doc_id
+ORDER BY r.score DESC, r.doc_id LIMIT 10
+"""
+
+
 def find_docs_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring containment filter, analog of
     ``string::lowercase(name) CONTAINS $q`` (schema/codegraph.surql:162)."""
