@@ -113,6 +113,62 @@ def hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 HYBRID_INDEX_TOPK_SQL = HYBRID_SCORE_TOPK_SQL  # same semantics, engine-backed
 
 
+def bm25_index_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Metadata-filtered BM25 top-k THROUGH the engine: overfetch from
+    the compressed index, filter candidates by the SearchFilters
+    predicate, REFILL (4× deeper) until the top-k of the filtered set
+    is provably complete — the production composition sketched in
+    ``textops.bm25_topk_filtered`` (whose exhaustive plan is the shared
+    oracle).
+
+    Exactness argument: engine scores equal exhaustive scores
+    (rank-identity gates), so the filtered top-k is final once
+    (a) ≥ k filtered hits are in hand AND the lowest fetched ROUNDED
+    score is strictly below the k-th filtered rounded score (no
+    unfetched doc can tie into the boundary, where doc_id tie-breaks
+    could reorder), or (b) the fetch depth covers the corpus."""
+    from ..operators.topk import InvertedIndex
+    from .common import t
+
+    index_dir, cfg = ensure_doc_index(spark, sf_dir)
+    idx = InvertedIndex(spark, index_dir, cfg)
+    meta = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & F.col("n_chars").between(500, 5000)
+    ).select("doc_id", "lang", "n_chars")
+
+    fetch = 4 * k + 25  # the reference's overfetch rule as the opener
+    while True:
+        raw = (
+            idx.topk_batch([(0, " ".join(BM25_QUERY_TERMS))], k=fetch, mode="maxscore")
+            .drop("qid", "rank")
+            .withColumn("score", F.round("score", 6))
+        )
+        hits = raw.join(meta, "doc_id")
+        rows = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + 1).collect()
+        n_fetched = raw.count()
+        if n_fetched < fetch:
+            break  # corpus exhausted — every matching doc fetched
+        if len(rows) >= k:
+            kth = rows[k - 1]["score"]
+            fetched_min = raw.agg(F.min("score")).collect()[0][0]
+            if fetched_min is not None and fetched_min < kth:
+                break
+        fetch *= 4
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        raw.join(meta, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "lang", "n_chars", "rank")
+    )
+
+
+from .textops import BM25_TOPK_FILTERED_SQL as BM25_INDEX_TOPK_FILTERED_SQL  # noqa: E402
+# identical semantics (full-corpus stats, filter on candidates), engine-backed
+
+
 def context_enriched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-context enrichment composed onto the flagship: decorate
     each hybrid top-k hit with its top-5 related documents — the

@@ -53,6 +53,10 @@ REGISTRY: dict = {
     "bm25_index_topk": (ix.bm25_index_topk, ix.BM25_INDEX_TOPK_SQL),
     "hybrid_index_topk": (ix.hybrid_index_topk, ix.HYBRID_INDEX_TOPK_SQL),
     "context_enriched_topk": (ix.context_enriched_topk, ix.CONTEXT_ENRICHED_TOPK_SQL),
+    "bm25_index_topk_filtered": (
+        ix.bm25_index_topk_filtered,
+        ix.BM25_INDEX_TOPK_FILTERED_SQL,
+    ),
     "find_docs_by_term": (tx.find_docs_by_term, tx.FIND_DOCS_BY_TERM_SQL),
     "metadata_search_filters": (
         tx.metadata_search_filters,
