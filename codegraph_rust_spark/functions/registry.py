@@ -15,6 +15,7 @@ from . import dedup_approx as da
 from . import embedder as em
 from . import graph as g
 from . import indexed as ix
+from . import ivf_kmeans as ivf
 from . import multimodal as mm
 from . import pipeline as pl
 from . import relational as r
@@ -93,6 +94,7 @@ REGISTRY: dict = {
     "ann_overfetch_refine": (rr.ann_overfetch_refine, rr.ANN_OVERFETCH_REFINE_SQL),
     "ann_multiprobe": (rr.ann_multiprobe, rr.ANN_MULTIPROBE_SQL),
     "ann_ivf": (rr.ann_ivf, rr.ANN_IVF_SQL),
+    "ann_ivf_trained": (ivf.ann_ivf_trained, ivf.ANN_IVF_TRAINED_SQL),
     # multimodal (opaque binary payloads; decode stubbed, plumbing real)
     "binary_payload_stats": (mm.binary_payload_stats, mm.BINARY_PAYLOAD_STATS_SQL),
     "media_frame_features": (mm.media_frame_features, mm.MEDIA_FRAME_FEATURES_SQL),

@@ -13,6 +13,7 @@ def _topk_ids(df, id_col="vec_id"):
 
 
 def test_ann_variants_recall_vs_bruteforce(spark):
+    from codegraph_rust_spark.functions.ivf_kmeans import ann_ivf_trained
     from codegraph_rust_spark.functions.rerank import (
         ann_ivf,
         ann_multiprobe,
@@ -28,6 +29,7 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         ("overfetch_refine", ann_overfetch_refine),
         ("multiprobe", ann_multiprobe),
         ("ivf", ann_ivf),
+        ("ivf_trained", ann_ivf_trained),
         ("signbucket", ann_signbucket),
     ]:
         got = set(_topk_ids(fn(spark, SF)))
@@ -38,6 +40,9 @@ def test_ann_variants_recall_vs_bruteforce(spark):
     # the true top-5 (measured 0.8 on this deterministic table)
     assert recalls["overfetch_refine"] >= 0.8, recalls
     assert recalls["ivf"] >= 0.8, recalls
+    # trained coarse quantizer must do at least as well as the
+    # deterministic-grid ivf at the same probe budget
+    assert recalls["ivf_trained"] >= recalls["ivf"], recalls
     # bucketed variants trade recall for candidate-set size; they must
     # still find the query's own bucket neighborhood (non-trivial hit)
     assert recalls["multiprobe"] >= 0.4, recalls
