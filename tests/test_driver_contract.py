@@ -76,3 +76,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"doc_id", "combined_score", "rank"} <= set(df.columns)
+
+
+def test_all_outputs_are_driver_canonicalizable(spark):
+    """The driver canonicalizes results with a pandas sort_values over
+    every column — an ArrayType/MapType cell is unhashable there and
+    breaks the gate even when the values are right (bit us in round 2
+    with media_frame_features).  Pin: every entry's schema is flat
+    scalars only."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        for f in fn(spark, "/root/testdata/sf0.001").schema.fields:
+            if isinstance(f.dataType, banned):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
