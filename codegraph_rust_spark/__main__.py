@@ -55,11 +55,14 @@ def cmd_index(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from codegraph_rust_spark.config import IndexConfig
+    from codegraph_rust_spark.config import IndexConfig, load_index_config
     from codegraph_rust_spark.operators.topk import InvertedIndex
 
     spark = _spark(args.cpus)
-    cfg = IndexConfig(analyzer=args.analyzer)
+    # the index's OWN build config is authoritative: querying with a
+    # different analyzer or salting threshold silently mis-enumerates
+    # head-term shards / stems query terms differently
+    cfg = load_index_config(args.index_dir) or IndexConfig()
     idx = InvertedIndex(spark, args.index_dir, cfg)
     t0 = time.time()
     df = idx.topk(args.text, k=args.k, mode=args.mode)
@@ -69,14 +72,30 @@ def cmd_query(args) -> None:
     print(json.dumps({"wall_s": round(time.time() - t0, 3), "hits": rows}))
 
 
+# the input_hint pages schema — the fallback when the drop dir is
+# still empty at watcher start (schema inference would crash)
+_PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+
 def cmd_watch(args) -> None:
+    from pyspark.sql import types as T
+
+    from codegraph_rust_spark.config import IndexConfig, load_index_config
     from codegraph_rust_spark.streaming.watch import watch_pages
 
     spark = _spark(args.cpus)
+    cfg = load_index_config(args.index_dir) or IndexConfig()
+    try:
+        schema = spark.read.parquet(args.watch_dir).schema
+    except Exception:
+        schema = T.StructType.fromDDL(_PAGES_DDL)
     q = watch_pages(
         spark,
         args.watch_dir,
         args.index_dir,
+        cfg=cfg,
+        schema=schema,
         available_now=args.once,
         processing_time=None if args.once else f"{args.interval} seconds",
     )
@@ -124,7 +143,6 @@ def main(argv=None) -> None:
     p.add_argument("text")
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--mode", default="maxscore", choices=["maxscore", "taat"])
-    p.add_argument("--analyzer", default="snowball", choices=["snowball", "simple"])
     p.add_argument("--urls", action="store_true", help="attach urls to hits")
     p.set_defaults(fn=cmd_query)
 
@@ -140,7 +158,9 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
-    args.cpus_int = int(str(args.cpus).strip("*") or 8) if str(args.cpus).isdigit() else 8
+    args.cpus_int = (
+        int(args.cpus) if str(args.cpus).isdigit() and int(args.cpus) > 0 else 8
+    )
     args.fn(args)
 
 

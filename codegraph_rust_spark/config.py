@@ -9,7 +9,9 @@ block size replaces the reference's B-tree order/cache knobs
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+import os
+from dataclasses import dataclass, field, fields
 
 
 @dataclass(frozen=True)
@@ -63,3 +65,17 @@ class QueryConfig:
     #         Arrow batch per (query, salt-shard) — skips non-essential
     #         list enumeration.
     mode: str = "taat"
+
+
+def load_index_config(index_dir: str) -> IndexConfig | None:
+    """The config an index was BUILT with (config.json, written by
+    build_index) — the query/watch side must use the same analyzer and
+    salting parameters or head-term shards are mis-enumerated and
+    query tokenization diverges from the index's."""
+    p = os.path.join(index_dir, "config.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    known = {f.name for f in fields(IndexConfig)}
+    return IndexConfig(**{k: v for k, v in d.items() if k in known})

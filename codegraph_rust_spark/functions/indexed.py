@@ -138,14 +138,22 @@ def bm25_index_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10) -> D
 
     fetch = 4 * k + 25  # the reference's overfetch rule as the opener
     while True:
+        # ONE engine execution per iteration: materialize the (≤ fetch
+        # rows) result, then derive count / min / k-th from it without
+        # re-triggering the postings decode
         raw = (
             idx.topk_batch([(0, " ".join(BM25_QUERY_TERMS))], k=fetch, mode="maxscore")
             .drop("qid", "rank")
             .withColumn("score", F.round("score", 6))
+            .localCheckpoint(eager=True)
         )
-        hits = raw.join(meta, "doc_id")
-        rows = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + 1).collect()
         n_fetched = raw.count()
+        rows = (
+            raw.join(meta, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k + 1)
+            .collect()
+        )
         if n_fetched < fetch:
             break  # corpus exhausted — every matching doc fetched
         if len(rows) >= k:

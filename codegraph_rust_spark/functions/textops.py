@@ -117,6 +117,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     ``indexed.bm25_index_topk`` (compressed postings + MaxScore) is
     what ``entry()`` routes through.  Corpus scalars (N, avgdl) come
     from ONE fused aggregation = one driver action, not two."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for EVERY doc matching the fixed query — the
+    un-truncated exhaustive ranking bm25_topk and the filtered variant
+    both consume (no global sort here; callers sort/limit)."""
     dl = _dl_df(spark, sf_dir)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
@@ -126,7 +141,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame([(x,) for x in BM25_QUERY_TERMS], "term string")
-    scored = (
+    return (
         tf.join(F.broadcast(q), "term")
         .join(dfr, "term")
         .join(dl, "doc_id")
@@ -140,14 +155,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
     )
 
 
@@ -203,14 +210,13 @@ def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the exhaustive scoring keeps the entry oracle-exact."""
     from pyspark.sql import Window
 
-    scored = bm25_topk(spark, sf_dir, k=10 ** 6)  # full ranking, filtered below
+    scored = _bm25_scored(spark, sf_dir)  # un-truncated — no global sort
     meta = t(spark, sf_dir, "documents").filter(
         F.col("lang").isin("en", "de") & F.col("n_chars").between(500, 5000)
     ).select("doc_id", "lang", "n_chars")
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.drop("rank")
-        .join(meta, "doc_id")
+        scored.join(meta, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
         .withColumn("rank", F.row_number().over(w))

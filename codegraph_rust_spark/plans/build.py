@@ -186,16 +186,20 @@ def derived_stages(
             post = build_postings(tokenized, dictionary, cfg, est_rows=est_rows)
             cat.write(post, POSTINGS, partition_by=["tbucket"])
             # an EMPTY partitioned write leaves zero data files, which
-            # makes the table unreadable (no schema to infer); rewrite
-            # the empty frame unpartitioned so tbucket survives as a
-            # regular column and readers still work on a 0-doc corpus
+            # makes the table unreadable (no schema to infer).  Seed a
+            # schema-ful empty file INSIDE a tbucket=0 partition dir —
+            # NOT at the table root — so the hive layout stays uniform
+            # and a later incremental splice (which renames tbucket=X
+            # dirs in) never mixes leaf depths.
             import glob as _glob
 
             if not _glob.glob(
                 os.path.join(cat.path(POSTINGS), "**", "*.parquet"),
                 recursive=True,
             ):
-                cat.write(post.limit(0), POSTINGS)
+                post.limit(0).drop("tbucket").write.mode("overwrite").parquet(
+                    os.path.join(cat.path(POSTINGS), "tbucket=0")
+                )
         timed(POSTINGS, _postings)
 
     total = write_lineage(cat, spark, int(stats_row["input_fingerprint"] or 0))
