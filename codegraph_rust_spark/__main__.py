@@ -102,6 +102,38 @@ def cmd_watch(args) -> None:
     q.awaitTermination()
 
 
+def cmd_run(args) -> None:
+    """Run any registry operator against an sf-style table directory
+    (documents.parquet / embeddings.parquet / …) and print JSON rows."""
+    from codegraph_rust_spark.functions import registry
+
+    qs = registry.queries()
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown operator {args.name!r}",
+                          "available": sorted(qs)}))
+        sys.exit(2)
+    spark = _spark(args.cpus)
+    t0 = time.time()
+    df = qs[args.name](spark, args.sf_dir)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    print(json.dumps({"operator": args.name, "wall_s": round(time.time() - t0, 3),
+                      "rows": rows}, default=str))
+
+
+def cmd_curate(args) -> None:
+    """Run the end-to-end curation pipeline and write the curated doc
+    set as parquet — the training-data export."""
+    from codegraph_rust_spark.functions.pipeline import curate_training_sample
+
+    spark = _spark(args.cpus)
+    t0 = time.time()
+    df = curate_training_sample(spark, args.sf_dir)
+    df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"curated_docs": n, "out": args.out,
+                      "wall_s": round(time.time() - t0, 3)}))
+
+
 def cmd_stats(args) -> None:
     from codegraph_rust_spark.sources.catalog import Catalog
 
@@ -156,6 +188,17 @@ def main(argv=None) -> None:
     p = sub.add_parser("stats", help="index statistics")
     p.add_argument("index_dir")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("run", help="run a registry operator over an sf table dir")
+    p.add_argument("name")
+    p.add_argument("sf_dir")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("curate", help="export the curated training-doc set")
+    p.add_argument("sf_dir")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     args.cpus_int = (
