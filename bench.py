@@ -145,9 +145,17 @@ def main() -> None:
         "media_frame_features",
         "trace_call_chain",
     ):
-        t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the first call of a plan shape pays Janino /
+        # whole-stage-codegen compilation (measured up to +10s on the
+        # 64-aggregate simhash plan) — the same per-session floor the
+        # build protocol's cold/warm split documents.  min-of-2 is the
+        # scaling protocol's noise filter applied per operator.
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # surface the stored north-rule scaling number (BENCH.md is written
     # by scripts/scaling_bench.py --md, the official two-level protocol).
@@ -181,6 +189,7 @@ def main() -> None:
         "total_postings": metrics.get("total_postings"),
         "bm25_results": len(batch),
         "maxscore_queries_per_sec": round(len(queries) / batch_ms_wall, 2),
+        "op_timing": "min_of_2_runs",
         "scaling_efficiency_n_to_4n_stored": scaling_eff,
         "scaling_efficiency_source": scaling_src,
     }
