@@ -129,3 +129,47 @@ def test_extract_html_empty_and_none():
 def test_extract_deterministic():
     h = "<p>café \U0001f600 <b>x</b></p>".encode()
     assert extract_html(h) == extract_html(h) == "café x"
+
+
+# ---- fused counting path == unfused chain (property) ----------------
+
+def _unfused_counts(text, mode):
+    from collections import Counter
+
+    from codegraph_rust_spark.operators.xxhash import xxh64_str
+    from codegraph_rust_spark.textkit.tokenizer import tokenize
+
+    toks = tokenize(text, mode)
+    return Counter(xxh64_str(t) for t in toks), len(toks)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def test_token_id_counts_matches_unfused_snowball(text):
+        """The two-C-pass fused path (map memo + Counter) must produce
+        exactly the tokenize→stem→hash→count composition for ANY text —
+        the rewrite that sped it up may never change its output."""
+        from codegraph_rust_spark.operators.xxhash import xxh64_str
+        from codegraph_rust_spark.textkit.tokenizer import token_id_counts
+
+        cnt, n = token_id_counts(text, xxh64_str)
+        want_cnt, want_n = _unfused_counts(text, "snowball")
+        assert n == want_n
+        assert dict(cnt) == dict(want_cnt)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=" abcxyz0189é", max_size=200))
+    def test_token_id_counts_matches_unfused_simple(text):
+        from codegraph_rust_spark.operators.xxhash import xxh64_str
+        from codegraph_rust_spark.textkit.tokenizer import token_id_counts
+
+        cnt, n = token_id_counts(text, xxh64_str, mode="simple")
+        want_cnt, want_n = _unfused_counts(text, "simple")
+        assert n == want_n
+        assert dict(cnt) == dict(want_cnt)
+except ImportError:  # pragma: no cover
+    pass
