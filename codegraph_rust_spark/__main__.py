@@ -72,10 +72,13 @@ def cmd_query(args) -> None:
     print(json.dumps({"wall_s": round(time.time() - t0, 3), "hits": rows}))
 
 
-# the input_hint pages schema — the fallback when the drop dir is
-# still empty at watcher start (schema inference would crash)
-_PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
-              "text string, lang string")
+# fallback schema when the drop dir is still empty at watcher start
+# (schema inference would crash).  DELIBERATELY html-free: tokenize
+# prefers an html column when present, so a phantom all-null html
+# column would make every page index as empty.  A feed that ships
+# html should start the watcher after its first drop (schema is then
+# inferred) or call watch_pages(schema=...) directly.
+_PAGES_DDL = "url string, warc_ts timestamp, text string, lang string"
 
 
 def cmd_watch(args) -> None:
@@ -201,9 +204,17 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
-    args.cpus_int = (
-        int(args.cpus) if str(args.cpus).isdigit() and int(args.cpus) > 0 else 8
-    )
+    # sanitize ONCE, and use the sanitized value everywhere — the raw
+    # string must not leak into the master URL (local[0] hangs forever)
+    raw = str(args.cpus)
+    if raw == "*":
+        args.cpus_int = 8
+    elif raw.isdigit() and int(raw) > 0:
+        args.cpus_int = int(raw)
+    else:
+        ap.error(f"--cpus must be a positive integer or '*', got {raw!r}")
+    if raw != "*":
+        args.cpus = str(args.cpus_int)
     args.fn(args)
 
 

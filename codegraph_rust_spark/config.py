@@ -75,7 +75,17 @@ def load_index_config(index_dir: str) -> IndexConfig | None:
     p = os.path.join(index_dir, "config.json")
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        d = json.load(f)
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (OSError, ValueError) as e:
+        # fail LOUDLY: silently falling back to defaults here would
+        # query/extend the index with the wrong analyzer or salting —
+        # exactly the corruption this loader exists to prevent
+        raise RuntimeError(
+            f"{p} is unreadable ({e}); the index's build config is "
+            "required for queries and incremental updates — restore it "
+            "or rebuild the index"
+        ) from e
     known = {f.name for f in fields(IndexConfig)}
     return IndexConfig(**{k: v for k, v in d.items() if k in known})

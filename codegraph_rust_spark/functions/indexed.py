@@ -137,16 +137,21 @@ def bm25_index_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10) -> D
     ).select("doc_id", "lang", "n_chars")
 
     fetch = 4 * k + 25  # the reference's overfetch rule as the opener
+    prev = None
     while True:
         # ONE engine execution per iteration: materialize the (≤ fetch
         # rows) result, then derive count / min / k-th from it without
-        # re-triggering the postings decode
+        # re-triggering the postings decode.  Each deeper fetch
+        # strictly supersedes the last — release its storage.
         raw = (
             idx.topk_batch([(0, " ".join(BM25_QUERY_TERMS))], k=fetch, mode="maxscore")
             .drop("qid", "rank")
             .withColumn("score", F.round("score", 6))
             .localCheckpoint(eager=True)
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = raw
         n_fetched = raw.count()
         rows = (
             raw.join(meta, "doc_id")

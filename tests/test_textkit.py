@@ -143,33 +143,35 @@ def _unfused_counts(text, mode):
     return Counter(xxh64_str(t) for t in toks), len(toks)
 
 
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+import pytest
 
-    @settings(max_examples=200, deadline=None)
-    @given(st.text(max_size=300))
-    def test_token_id_counts_matches_unfused_snowball(text):
-        """The two-C-pass fused path (map memo + Counter) must produce
-        exactly the tokenize→stem→hash→count composition for ANY text —
-        the rewrite that sped it up may never change its output."""
-        from codegraph_rust_spark.operators.xxhash import xxh64_str
-        from codegraph_rust_spark.textkit.tokenizer import token_id_counts
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
 
-        cnt, n = token_id_counts(text, xxh64_str)
-        want_cnt, want_n = _unfused_counts(text, "snowball")
-        assert n == want_n
-        assert dict(cnt) == dict(want_cnt)
 
-    @settings(max_examples=200, deadline=None)
-    @given(st.text(alphabet=" abcxyz0189é", max_size=200))
-    def test_token_id_counts_matches_unfused_simple(text):
-        from codegraph_rust_spark.operators.xxhash import xxh64_str
-        from codegraph_rust_spark.textkit.tokenizer import token_id_counts
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_token_id_counts_matches_unfused_snowball(text):
+    """The two-C-pass fused path (map memo + Counter) must produce
+    exactly the tokenize→stem→hash→count composition for ANY text —
+    the rewrite that sped it up may never change its output."""
+    from codegraph_rust_spark.operators.xxhash import xxh64_str
+    from codegraph_rust_spark.textkit.tokenizer import token_id_counts
 
-        cnt, n = token_id_counts(text, xxh64_str, mode="simple")
-        want_cnt, want_n = _unfused_counts(text, "simple")
-        assert n == want_n
-        assert dict(cnt) == dict(want_cnt)
-except ImportError:  # pragma: no cover
-    pass
+    cnt, n = token_id_counts(text, xxh64_str)
+    want_cnt, want_n = _unfused_counts(text, "snowball")
+    assert n == want_n
+    assert dict(cnt) == dict(want_cnt)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" abcxyz0189é", max_size=200))
+def test_token_id_counts_matches_unfused_simple(text):
+    from codegraph_rust_spark.operators.xxhash import xxh64_str
+    from codegraph_rust_spark.textkit.tokenizer import token_id_counts
+
+    cnt, n = token_id_counts(text, xxh64_str, mode="simple")
+    want_cnt, want_n = _unfused_counts(text, "simple")
+    assert n == want_n
+    assert dict(cnt) == dict(want_cnt)
