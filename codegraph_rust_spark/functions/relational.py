@@ -209,6 +209,81 @@ FROM u GROUP BY user_id HAVING count(*) = 2
 
 # ------------------------------------------------------- time / json scalars
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event stream — the behavioral
+    grouping a training-data / analytics pipeline derives from raw
+    events (the batch twin of Structured Streaming's session_window):
+    per user, a new session starts after > 30 min of inactivity;
+    output one row per session with its span, size and value.
+
+    Exactness discipline: gaps and durations are computed in INTEGER
+    microseconds (unix_micros / epoch_us), and the value sum is
+    cents-quantized before aggregation — no float accumulation order
+    anywhere, so the SQL oracle matches bit-for-bit.  Plan shape: one
+    user-partitioned window pass (lag + running sum — sessions never
+    cross the user key, so no skew beyond a user's own event count)
+    and one hash aggregation."""
+    e = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives as TIMESTAMP_NTZ: wall-clock micros against a fixed
+    # base, NO timezone math — immune to the harness session timezone
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    gap = us - F.lag(us).over(wo)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+        us.alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+WITH based AS (
+  SELECT user_id, ts, event_id, value,
+         datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id, us,
+         cast(round(value * 100) AS bigint) AS cents,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM based
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, us, cents,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       max(us) - min(us) AS duration_us,
+       cast(sum(cents) AS bigint) / 100.0 AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (1h) counts — batch form of the streaming rollup
     (reference has CDC-style incrementality, indexer.rs:3186-3251; event
