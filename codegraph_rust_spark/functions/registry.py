@@ -67,6 +67,8 @@ REGISTRY: dict = {
     "top_sources": (tx.top_sources, tx.TOP_SOURCES_SQL),
     # text analysis (training pipeline)
     "token_count": (tx.token_count, tx.TOKEN_COUNT_SQL),
+    "doclen_percentiles": (tx.doclen_percentiles, tx.DOCLEN_PERCENTILES_SQL),
+    "tfidf_keywords": (tx.tfidf_keywords, tx.TFIDF_KEYWORDS_SQL),
     "quality_score": (tx.quality_score, tx.QUALITY_SCORE_SQL),
     "lang_id_heuristic": (tx.lang_id_heuristic, tx.LANG_ID_SQL),
     # dedup family

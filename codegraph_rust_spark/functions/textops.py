@@ -389,6 +389,92 @@ FROM documents
 """
 
 
+def doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p95 of document length per language — the corpus
+    profiling step a curation pipeline runs before setting its quality
+    thresholds.  EXACT percentiles (sort-based linear interpolation,
+    identical in Spark's percentile() and DuckDB's quantile_cont —
+    verified value-equal), not approx sketches: profiling feeds
+    thresholds, and a threshold from an approximate quantile is a
+    silently different dataset.  At 10^12 docs swap in
+    approx_percentile with a documented error bound."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        )
+    )
+
+
+DOCLEN_PERCENTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.95) AS p95_chars
+FROM documents GROUP BY lang
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — keyword tagging for the
+    training pipeline (the classic tf·idf = tf · (ln((N+1)/(df+1))+1)
+    smooth-idf form).  One tf aggregation, one df aggregation, a
+    broadcast-friendly join, and a doc_id-partitioned rank window
+    (natural key, no skew); scores rounded to 6dp before ranking so
+    the tie-break (score desc, term asc) is engine-independent."""
+    from pyspark.sql import Window
+
+    toks = _toks_df(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t(spark, sf_dir, "documents").count()
+    scored = tf.join(dfr, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "score", "kw_rank")
+    )
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT cast(count(*) AS double) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfr.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, cast(kw_rank AS int) AS kw_rank, score
+FROM ranked WHERE kw_rank <= {TFIDF_TOP_K}
+"""
+
+
 # -------------------------------------------------------------------- dedup
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
