@@ -33,6 +33,7 @@ REGISTRY: dict = {
     "multi_vector_and_avg": (r.multi_vector_and_avg, r.MULTI_VECTOR_AND_AVG_SQL),
     "events_hourly": (r.events_hourly, r.EVENTS_HOURLY_SQL),
     "sessionize_events": (r.sessionize_events, r.SESSIONIZE_EVENTS_SQL),
+    "funnel_conversion": (r.funnel_conversion, r.FUNNEL_CONVERSION_SQL),
     "events_json_extract": (r.events_json_extract, r.EVENTS_JSON_EXTRACT_SQL),
     "coupling_metrics": (r.coupling_metrics, r.COUPLING_METRICS_SQL),
     # graph fn::* analogs
