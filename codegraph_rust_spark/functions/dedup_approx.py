@@ -482,6 +482,20 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("comp").alias("component"))
 
 
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-duplicate CLUSTER sizes — the dedup-impact
+    summary a curation run reports (how much of the corpus is 2-way,
+    3-way, n-way duplicated): component sizes from the connected-
+    components labeling, then a size → cluster-count rollup.  Two tiny
+    aggregations on top of the component table."""
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 NEARDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL}) jp
@@ -497,6 +511,13 @@ reach(v, u) AS (
   SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
 )
 SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v
+"""
+
+
+NEARDUP_CLUSTER_SIZES_SQL = f"""
+WITH comp AS ({NEARDUP_COMPONENTS_SQL}),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 """
 
 

@@ -34,6 +34,7 @@ REGISTRY: dict = {
     "events_hourly": (r.events_hourly, r.EVENTS_HOURLY_SQL),
     "sessionize_events": (r.sessionize_events, r.SESSIONIZE_EVENTS_SQL),
     "funnel_conversion": (r.funnel_conversion, r.FUNNEL_CONVERSION_SQL),
+    "retention_cohorts": (r.retention_cohorts, r.RETENTION_COHORTS_SQL),
     "events_json_extract": (r.events_json_extract, r.EVENTS_JSON_EXTRACT_SQL),
     "coupling_metrics": (r.coupling_metrics, r.COUPLING_METRICS_SQL),
     # graph fn::* analogs
@@ -80,6 +81,10 @@ REGISTRY: dict = {
     "simhash_near_pairs": (da.simhash_near_pairs, da.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
     "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
+    "neardup_cluster_sizes": (
+        da.neardup_cluster_sizes,
+        da.NEARDUP_CLUSTER_SIZES_SQL,
+    ),
     "curate_training_sample": (
         pl.curate_training_sample,
         pl.CURATE_TRAINING_SAMPLE_SQL,

@@ -284,6 +284,42 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity
+    week (the cohort), counted in each subsequent week they were
+    active — the (cohort_week, week_offset) → active_users matrix an
+    analytics pipeline derives from raw events.  Two hash
+    aggregations and one user-key join; week arithmetic in whole
+    integer days against a fixed Monday epoch, identical in both
+    engines."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    # ISO-stable week index: whole weeks since 2024-01-01 (a Monday)
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    weekly = e.select("user_id", week.alias("week")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         cast(floor(datediff('day', DATE '2024-01-01', cast(ts AS date)) / 7) AS int) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       count(*) AS active_users
+FROM weekly w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY c.cohort_week, w.week - c.cohort_week
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis view → click → purchase, per user: each
     stage must happen AT OR AFTER the previous stage's first completion
