@@ -70,6 +70,7 @@ REGISTRY: dict = {
     # text analysis (training pipeline)
     "token_count": (tx.token_count, tx.TOKEN_COUNT_SQL),
     "doclen_percentiles": (tx.doclen_percentiles, tx.DOCLEN_PERCENTILES_SQL),
+    "vocab_zipf_profile": (tx.vocab_zipf_profile, tx.VOCAB_ZIPF_PROFILE_SQL),
     "tfidf_keywords": (tx.tfidf_keywords, tx.TFIDF_KEYWORDS_SQL),
     "quality_score": (tx.quality_score, tx.QUALITY_SCORE_SQL),
     "lang_id_heuristic": (tx.lang_id_heuristic, tx.LANG_ID_SQL),

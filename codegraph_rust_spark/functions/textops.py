@@ -419,6 +419,31 @@ FROM documents GROUP BY lang
 """
 
 
+def vocab_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency head of the vocabulary (top-20 terms by corpus
+    frequency) — the Zipf profile a corpus report leads with, and the
+    empirical input to every skew dial in this repo (salt thresholds,
+    shingle df caps are sized off exactly this curve)."""
+    from pyspark.sql import Window
+
+    d = dictionary_stats(spark, sf_dir)
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        d.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "term", "df", "cf")
+    )
+
+
+VOCAB_ZIPF_PROFILE_SQL = f"""
+WITH d AS ({DICTIONARY_STATS_SQL})
+SELECT cast(row_number() OVER (ORDER BY cf DESC, term) AS int) AS rank,
+       term, df, cf
+FROM d ORDER BY cf DESC, term LIMIT 20
+"""
+
+
 TFIDF_TOP_K = 3
 
 
