@@ -144,6 +144,10 @@ def main() -> None:
         "embed_documents",
         "media_frame_features",
         "trace_call_chain",
+        "sessionize_events",
+        "funnel_conversion",
+        "tfidf_keywords",
+        "curate_training_sample",
     ):
         # min of 2 runs: the first call of a plan shape pays Janino /
         # whole-stage-codegen compilation (measured up to +10s on the
