@@ -276,7 +276,7 @@ sess AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, cast(session_id AS bigint) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        max(us) - min(us) AS duration_us,
        cast(sum(cents) AS bigint) / 100.0 AS total_value

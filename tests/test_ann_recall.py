@@ -14,6 +14,7 @@ def _topk_ids(df, id_col="vec_id"):
 
 def test_ann_variants_recall_vs_bruteforce(spark):
     from codegraph_rust_spark.functions.ivf_kmeans import ann_ivf_trained
+    from codegraph_rust_spark.functions.nsw import ann_nsw_beam
     from codegraph_rust_spark.functions.rerank import (
         ann_ivf,
         ann_multiprobe,
@@ -31,6 +32,7 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         ("ivf", ann_ivf),
         ("ivf_trained", ann_ivf_trained),
         ("signbucket", ann_signbucket),
+        ("nsw_beam", ann_nsw_beam),
     ]:
         got = set(_topk_ids(fn(spark, SF)))
         recalls[name] = len(got & exact5) / 5.0
@@ -47,6 +49,10 @@ def test_ann_variants_recall_vs_bruteforce(spark):
     # still find the query's own bucket neighborhood (non-trivial hit)
     assert recalls["multiprobe"] >= 0.4, recalls
     assert recalls["signbucket"] >= 0.2, recalls
+    # the HNSW-analog graph search must match or beat the trained IVF
+    # at its probe budget (measured 1.0 on this deterministic table)
+    assert recalls["nsw_beam"] >= recalls["ivf_trained"], recalls
+    assert recalls["nsw_beam"] >= 0.8, recalls
     # and every variant must at least contain the query vector itself
     for name, fn in [("multiprobe", ann_multiprobe), ("ivf", ann_ivf)]:
         assert 0 in _topk_ids(fn(spark, SF)), f"{name} lost the query vector"

@@ -78,6 +78,62 @@ def test_entry_smoke(spark):
     assert {"doc_id", "combined_score", "rank"} <= set(df.columns)
 
 
+def test_oracle_type_parity(spark, ducked):
+    """DESCRIBE every oracle SQL in DuckDB and pin (a) no 128-bit
+    integer column anywhere — DuckDB widens windowed/plain integer
+    SUM to HUGEINT, which the driver's byte-exact hash sees as a
+    different value even when every number is identical (bit us in
+    round 3 with sessionize_events' `sum(new_sess) OVER w`) — and
+    (b) per-column-name type compatibility with the Spark schema, so
+    a driver hash mismatch can never again be a *type* skew."""
+    # DuckDB type → Spark simpleString()s the driver hashes identically.
+    # Width within a family is canonicalized away by pandas (int32 and
+    # int64 both land as exact int64; float32→float64 is value-exact),
+    # proven by the r3 driver-green rows that carry INTEGER/BIGINT
+    # skews — but a *128-bit* integer has no lossless pandas dtype and
+    # is the one type class the driver hash punishes.
+    ints = {"bigint", "int", "smallint", "tinyint"}
+    compat = {
+        "BIGINT": ints,
+        "INTEGER": ints,
+        "SMALLINT": ints,
+        "TINYINT": ints,
+        "DOUBLE": {"double", "float"},
+        "FLOAT": {"double", "float"},
+        "REAL": {"double", "float"},
+        "VARCHAR": {"string"},
+        "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+        "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+        "DATE": {"date"},
+        "BOOLEAN": {"boolean"},
+    }
+    banned = ("HUGEINT", "UHUGEINT", "INT128", "UBIGINT", "UINTEGER")
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    offenders = []
+    for name, sql in osql.items():
+        otypes = {
+            r[0]: r[1]
+            for r in ducked.execute(f"DESCRIBE {sql}").fetchall()
+        }
+        stypes = {
+            f.name: f.dataType.simpleString()
+            for f in qs[name](spark, "/root/testdata/sf0.001").schema.fields
+        }
+        for col, dtyp in otypes.items():
+            base = dtyp.split("(")[0].strip().upper()
+            if any(b in base for b in banned):
+                offenders.append(f"{name}.{col}: oracle {dtyp} is 128-bit")
+                continue
+            styp = stypes.get(col)
+            if styp is None:
+                offenders.append(f"{name}.{col}: oracle-only column")
+            elif base in compat and styp not in compat[base]:
+                offenders.append(
+                    f"{name}.{col}: oracle {dtyp} vs spark {styp}"
+                )
+    assert not offenders, offenders
+
+
 def test_all_outputs_are_driver_canonicalizable(spark):
     """The driver canonicalizes results with a pandas sort_values over
     every column — an ArrayType/MapType cell is unhashable there and
