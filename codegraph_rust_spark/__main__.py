@@ -208,7 +208,7 @@ def main(argv=None) -> None:
     # string must not leak into the master URL (local[0] hangs forever)
     raw = str(args.cpus)
     if raw == "*":
-        args.cpus_int = 8
+        args.cpus_int = os.cpu_count() or 8
     elif raw.isdigit() and int(raw) > 0:
         args.cpus_int = int(raw)
     else:

@@ -474,8 +474,12 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         # convergence: per-node labels are monotone non-increasing, so
-        # an unchanged Σcomp means no label moved this round
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        # an unchanged Σcomp means no label moved this round.  Sum in
+        # DECIMAL(38,0): at doc_id ≈ 2^63-scale key spaces an int64
+        # sum of n labels overflows (ANSI mode would raise mid-build)
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

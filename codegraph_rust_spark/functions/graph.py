@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import t
+from .common import max_key, t
 
 
 def _lineitem_edges(spark, sf_dir):
@@ -99,7 +99,7 @@ FROM lineitem GROUP BY 1, 2
 
 def _part_edges(spark, sf_dir):
     p = t(spark, sf_dir, "part")
-    mx = (p.agg(F.max("p_partkey")).collect()[0][0] or 0) + 1
+    mx = max_key(spark, sf_dir, "part", "p_partkey") + 1
     return p.select(
         F.col("p_partkey").alias("from_id"),
         ((F.col("p_partkey") * 37 + 11) % F.lit(mx)).alias("to_id"),
@@ -117,7 +117,7 @@ def _involution_edges(spark, sf_dir):
     """Edges guaranteed to contain 2-cycles: to = (M - p) mod M is an
     involution, so (a, M-a) and (M-a, a) both exist."""
     p = t(spark, sf_dir, "part")
-    mx = (p.agg(F.max("p_partkey")).collect()[0][0] or 0) + 1
+    mx = max_key(spark, sf_dir, "part", "p_partkey") + 1
     return p.select(
         F.col("p_partkey").alias("from_id"),
         ((F.lit(mx) - F.col("p_partkey")) % F.lit(mx)).alias("to_id"),
@@ -340,7 +340,7 @@ def complexity_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _TOKS
 
     d = t(spark, sf_dir, "documents")
-    mx = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    mx = max_key(spark, sf_dir, "documents", "doc_id") + 1
     toks = _TOKS()
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))

@@ -30,6 +30,10 @@ from .textops import (
 
 _CACHE_TAG = "v2"  # bump when index layout / analyzer config changes
 
+# iterations taken by the last bm25_index_topk_filtered refill loop
+# (test-visible witness for the geometric-budget argument)
+LAST_REFILL_ITERS = 0
+
 
 def _doc_index_cfg() -> IndexConfig:
     return IndexConfig(
@@ -136,9 +140,18 @@ def bm25_index_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10) -> D
         F.col("lang").isin("en", "de") & F.col("n_chars").between(500, 5000)
     ).select("doc_id", "lang", "n_chars")
 
+    # Budget: fetch grows 4× per refill, so reaching every doc that
+    # matches any query term takes ceil(log4(matches / (4k+25))) + 1
+    # iterations — 3 covers 64·(4k+25) ≈ 4k docs at k=10, and the
+    # n_fetched < fetch exit fires at corpus exhaustion regardless.
+    # Each iteration costs 2 driver actions (count + boundary collect)
+    # on an ≤fetch-row checkpointed frame, not a re-decode.
     fetch = 4 * k + 25  # the reference's overfetch rule as the opener
     prev = None
+    global LAST_REFILL_ITERS
+    LAST_REFILL_ITERS = 0
     while True:
+        LAST_REFILL_ITERS += 1
         # ONE engine execution per iteration: materialize the (≤ fetch
         # rows) result, then derive count / min / k-th from it without
         # re-triggering the postings decode.  Each deeper fetch

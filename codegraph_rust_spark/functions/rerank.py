@@ -26,7 +26,10 @@ from .textops import _BM25_TOPK_SQL_T
 
 RERANK_K = 10
 ANN_K = 5
-ANN_PREFETCH = ANN_K * 4 + 25  # search.rs:292
+# deliberate superset of the reference's max(4k, k+25) prefetch
+# (search.rs:292): 4k+25 ≥ max(4k, k+25) for all k ≥ 0, so recall can
+# only match-or-beat it at a few extra candidate rows
+ANN_PREFETCH = ANN_K * 4 + 25
 # sign-agreement proxy width = full embedding dim: Hamming agreement of
 # sign bits is the standard SRP estimate of cosine (Charikar), so using
 # all 64 dims makes the prefetch stage a faithful cheap cosine rank —

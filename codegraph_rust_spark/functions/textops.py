@@ -224,6 +224,10 @@ def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle bound: the ranked CTE keeps the top 10^6 query-matching docs
+# before the metadata join — exhaustive for every driver SF (≤ 10^5
+# docs total); on a corpus with > 10^6 matches the oracle could drop
+# filtered candidates the Spark side keeps.  Raise k with the test SF.
 BM25_TOPK_FILTERED_SQL = f"""
 WITH ranked AS ({_BM25_TOPK_SQL_T.format(k=10 ** 6)}),
 meta AS (

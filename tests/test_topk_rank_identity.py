@@ -143,3 +143,15 @@ def test_python_xxhash_matches_spark(spark):
         .collect()
     }
     assert all(rows[t] == xxh64_str(t) for t in terms)
+
+
+def test_filtered_refill_loop_bounded(spark):
+    """The bm25_index_topk_filtered refill loop is geometric (4× per
+    round) with a corpus-exhaustion exit — on the driver tables it
+    must settle within 3 iterations or the budget argument in its
+    docstring is wrong."""
+    from codegraph_rust_spark.functions import indexed as ix
+
+    df = ix.bm25_index_topk_filtered(spark, "/root/testdata/sf0.01")
+    assert df.count() > 0
+    assert 1 <= ix.LAST_REFILL_ITERS <= 3, ix.LAST_REFILL_ITERS
