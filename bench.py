@@ -142,6 +142,7 @@ def main() -> None:
         "search_chunks_with_context",
         "context_enriched_topk",
         "embed_documents",
+        "ann_nsw_beam",
         "media_frame_features",
         "trace_call_chain",
         "sessionize_events",

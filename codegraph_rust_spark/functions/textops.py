@@ -128,17 +128,44 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) → (tf DataFrame, dl DataFrame, n_docs, avgdl).
+# The exhaustive oracle-slice family (bm25_topk + filtered + hybrid +
+# rerank) re-derived tf/doc_len from the raw text on EVERY call; the
+# inputs are a pure function of the immutable source table, so one
+# persisted materialization per session serves them all.  Keyed on
+# applicationId so a stopped/restarted session never sees stale RDD
+# handles.  (The engine path has its own on-disk index cache —
+# indexed.ensure_doc_index; this is its in-memory twin for the
+# oracle slice.)
+_BM25_INPUT_CACHE: dict = {}
+
+
+def _bm25_inputs(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BM25_INPUT_CACHE.get(key)
+    if hit is None:
+        from pyspark import StorageLevel
+
+        dl = _dl_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        tf = (
+            _toks_df(spark, sf_dir)
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hit = (tf, dl, stats["n_docs"], stats["avgdl"] or 1.0)
+        _BM25_INPUT_CACHE[key] = hit
+    return hit
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score) for EVERY doc matching the fixed query — the
     un-truncated exhaustive ranking bm25_topk and the filtered variant
     both consume (no global sort here; callers sort/limit)."""
-    dl = _dl_df(spark, sf_dir)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
-    toks = _toks_df(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf, dl, n_docs, avgdl = _bm25_inputs(spark, sf_dir)
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame([(x,) for x in BM25_QUERY_TERMS], "term string")
     return (
