@@ -79,3 +79,15 @@ def test_embedder_is_one_shuffle_with_partial_aggs(spark):
     # left join back to documents for empty docs)
     assert p.count("Exchange hashpartitioning") <= 2
     assert "HashAggregate" in p
+
+
+def test_nsw_beam_hops_are_broadcast_lookups(spark):
+    """Every beam-search hop must join the ≤NSW_EF-row beam into the
+    edges table as a broadcast lookup — the HNSW ef-search access
+    pattern.  A sort-merge join here would shuffle the whole adjacency
+    table per hop, which is the plan that dies at 10^12 vectors."""
+    from codegraph_rust_spark.functions.nsw import ann_nsw_beam
+
+    p = _plan(ann_nsw_beam(spark, SF, _truncate=False))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
