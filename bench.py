@@ -143,6 +143,7 @@ def main() -> None:
         "context_enriched_topk",
         "embed_documents",
         "ann_nsw_beam",
+        "ann_nsw_lsh",
         "media_frame_features",
         "trace_call_chain",
         "sessionize_events",

@@ -7,11 +7,14 @@ with greedy beam search (ef-bounded best-first).  The Spark-native
 re-expression is a ONE-layer NSW as two DataFrames:
 
 * **graph build** — ``edges(src, dst)``: each vector's NSW_M nearest
-  neighbors by exact cosine (ties broken by dst id).  At test scale
-  the M-NN graph is built with one self-join; at 10^12 vectors this
-  build stage is swapped for NN-descent or LSH candidate generation
-  (the plan shape — a per-src top-M window over scored candidate
-  pairs — is unchanged, only the candidate generator narrows).
+  neighbors by exact cosine (ties broken by dst id).  TWO builders,
+  same output shape: ``_nsw_edges`` (exact self-join — test scale /
+  ground truth) and ``_nsw_edges_lsh`` (sign-band LSH buckets + one
+  NN-descent round — the 10^12-vector path: every stage a bounded key
+  join + per-src top-M window, no O(n^2) anywhere).  Registry entries
+  ``ann_nsw_beam`` / ``ann_nsw_lsh`` expose one beam search per
+  builder, both DuckDB-oracled; recall of the LSH build vs the exact
+  build is gated in tests/test_ann_recall.py.
 * **beam search** — NSW_SEEDS deterministic entry points (smallest
   md5(vec_id): the same Carter-Wegman-style seeding as the trained-IVF
   init, no RNG state), then NSW_HOPS rounds of: expand the current
@@ -103,27 +106,128 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
     )
 
 
-def ann_nsw_beam(
-    spark: SparkSession, sf_dir: str, _truncate: bool = True
+def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
+    """Web-scale NSW graph build: sign-band LSH candidate generation
+    (Charikar axis-sign planes — the SAME deterministic bands as the
+    near-dup leg, so buckets bound the self-join fan-out instead of the
+    O(n^2) exact pairing) followed by ONE NN-descent expansion round
+    (Dong et al., WWW'11): candidates grow by neighbors-of-neighbors
+    over the symmetrized round-0 graph, then the per-src top-M window
+    re-selects.  Every stage is a bounded key join + window — no
+    corpus-squared anywhere — and candidate generation, scoring and
+    tie-breaks are all deterministic, so the DuckDB oracle replays the
+    whole build bit-for-bit.  (Production NN-descent memoizes scored
+    pairs across rounds and caps bucket width against band skew; one
+    round with rescoring keeps the oracle compact — the plan shape is
+    identical.)"""
+    from .dedup_approx import NEARDUP_BANDS
+
+    en = e.select(
+        "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+    )
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat(
+                            *[
+                                F.when(
+                                    F.element_at("embedding", dim) >= 0, F.lit("1")
+                                ).otherwise(F.lit("0"))
+                                for dim in dims
+                            ]
+                        ).alias("sig"),
+                    )
+                    for bi, dims in enumerate(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+
+    def score_pairs(p: DataFrame) -> DataFrame:
+        return (
+            p.join(
+                en.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("embedding").alias("a_emb"),
+                    F.col("nrm").alias("a_nrm"),
+                ),
+                "src",
+            )
+            .join(
+                en.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("embedding").alias("b_emb"),
+                    F.col("nrm").alias("b_nrm"),
+                ),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    F.expr(_DOT.format(a="a_emb", b="b_emb"))
+                    / (F.col("a_nrm") * F.col("b_nrm")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+
+    def top_m(p: DataFrame) -> DataFrame:
+        return (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= NSW_M)
+            .select("src", "dst")
+        )
+
+    g0 = top_m(score_pairs(cand))
+    bsym = g0.unionByName(
+        g0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    x, y = bsym.alias("x"), bsym.alias("y")
+    cand2 = (
+        x.join(
+            y,
+            (F.col("x.dst") == F.col("y.src"))
+            & (F.col("x.src") != F.col("y.dst")),
+        )
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        .unionByName(cand)
+        .distinct()
+    )
+    return top_m(score_pairs(cand2))
+
+
+def _beam_search(
+    e: DataFrame, edges: DataFrame, cp, q_vec_id: int = 0
 ) -> DataFrame:
-    """NSW beam-search top-k against the vec_id=0 query vector.
+    """Deterministic-seed beam search over an (src, dst) proximity
+    graph — shared by the exact-graph and LSH+NN-descent entries.
 
     Per-hop plan: broadcast the ≤NSW_EF-row beam into the edges table
     (lookup join), score only the newly reached dst nodes, re-rank the
     visited set, truncate to NSW_EF.  Visited-set dedup is a groupBy
     on vec_id (cosine is a pure function of vec_id, so max() is just
     pick-one)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # materialize once: the graph feeds every hop, and each hop's plan
-    # references the running visited set twice (union leg + beam leg)
-    # — without truncation the subtrees re-evaluate 2^NSW_HOPS times.
-    # _truncate=False keeps the whole plan lazy so the plan-quality
-    # test can assert the hop joins broadcast the beam side.
-    def cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if _truncate else df
-
-    edges = cp(_nsw_edges(e))
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    q = e.filter(F.col("vec_id") == q_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
 
     def score(df: DataFrame) -> DataFrame:
         # cosine(node, query) for a set of vec_ids
@@ -166,9 +270,103 @@ def ann_nsw_beam(
     )
 
 
-def _nsw_sql() -> str:
+def ann_nsw_beam(
+    spark: SparkSession, sf_dir: str, _truncate: bool = True
+) -> DataFrame:
+    """NSW beam-search top-k (exact M-NN graph) against the vec_id=0
+    query vector — see ``_beam_search`` for the per-hop plan."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # materialize once: the graph feeds every hop, and each hop's plan
+    # references the running visited set twice (union leg + beam leg)
+    # — without truncation the subtrees re-evaluate 2^NSW_HOPS times.
+    # _truncate=False keeps the whole plan lazy so the plan-quality
+    # test can assert the hop joins broadcast the beam side.
+    def cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if _truncate else df
+
+    return _beam_search(e, cp(_nsw_edges(e)), cp)
+
+
+def ann_nsw_lsh(
+    spark: SparkSession, sf_dir: str, _truncate: bool = True
+) -> DataFrame:
+    """NSW beam-search top-k over the LSH + NN-descent graph — the
+    10^12-vector build path (no O(n^2) stage anywhere; see
+    ``_nsw_edges_lsh``).  Query path identical to ``ann_nsw_beam``."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if _truncate else df
+
+    return _beam_search(e, cp(_nsw_edges_lsh(e)), cp)
+
+
+# per-src top-M window shared by every oracle graph build
+_TOP_M_SQL = (
+    "SELECT src, dst FROM ("
+    "SELECT src, dst, row_number() OVER "
+    "(PARTITION BY src ORDER BY cos DESC, dst) AS rn "
+    "FROM {scored}) WHERE rn <= {m}"
+)
+
+# exact M-NN graph: O(n^2) self-join (test scale)
+_EXACT_GRAPH_CTES = f"""
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(cast(a.embedding AS double[]),
+                                cast(b.embedding AS double[]))
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
+),
+edges AS (
+  {_TOP_M_SQL.format(scored="pairs", m=NSW_M)}
+),"""
+
+
+def _lsh_graph_ctes() -> str:
+    """LSH + one-NN-descent-round graph build, mirroring
+    ``_nsw_edges_lsh`` stage for stage."""
+    from .dedup_approx import NEARDUP_BANDS, _sig_sql
+
+    score = (
+        "SELECT c.src, c.dst,"
+        " round(list_dot_product(cast(ea.embedding AS double[]),"
+        " cast(eb.embedding AS double[])) / (ea.nrm * eb.nrm), 6) AS cos"
+        " FROM {cand} c JOIN en ea ON ea.vec_id = c.src"
+        " JOIN en eb ON eb.vec_id = c.dst"
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, {_sig_sql(dims)} AS sig FROM embeddings"
+        for bi, dims in enumerate(NEARDUP_BANDS)
+    )
+    return f"""
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+),
+s0 AS ({score.format(cand="cand")}),
+g0 AS ({_TOP_M_SQL.format(scored="s0", m=NSW_M)}),
+bsym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g0
+    UNION ALL SELECT dst AS src, src AS dst FROM g0)
+),
+cand2 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT x.src AS src, y.dst AS dst
+    FROM bsym x JOIN bsym y ON x.dst = y.src AND x.src <> y.dst
+    UNION ALL SELECT src, dst FROM cand)
+),
+s1 AS ({score.format(cand="cand2")}),
+edges AS ({_TOP_M_SQL.format(scored="s1", m=NSW_M)}),"""
+
+
+def _nsw_sql(graph_ctes: str) -> str:
     """The beam-search loop unrolled as NSW_HOPS CTE rounds (the same
-    deterministic-replay trick as ANN_IVF_TRAINED_SQL)."""
+    deterministic-replay trick as ANN_IVF_TRAINED_SQL), over whichever
+    graph build ``graph_ctes`` defines as ``edges``."""
     cos = (
         "round(list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
         " / (sqrt(list_dot_product(cast({a} AS double[]), cast({a} AS double[])))"
@@ -182,20 +380,7 @@ en AS (
          sqrt(list_dot_product(cast(embedding AS double[]),
                                cast(embedding AS double[]))) AS nrm
   FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst,
-         round(list_dot_product(cast(a.embedding AS double[]),
-                                cast(b.embedding AS double[]))
-               / (a.nrm * b.nrm), 6) AS cos
-  FROM en a JOIN en b ON a.vec_id <> b.vec_id
-),
-edges AS (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-    FROM pairs) WHERE rn <= {NSW_M}
-),
+),{graph_ctes}
 seeds AS (
   SELECT vec_id FROM embeddings
   ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {NSW_SEEDS}
@@ -230,4 +415,5 @@ FROM v{NSW_HOPS} ORDER BY cosine DESC, vec_id LIMIT {NSW_K}"""
     return "WITH " + ",".join(pieces) + final
 
 
-ANN_NSW_BEAM_SQL = _nsw_sql()
+ANN_NSW_BEAM_SQL = _nsw_sql(_EXACT_GRAPH_CTES)
+ANN_NSW_LSH_SQL = _nsw_sql(_lsh_graph_ctes())

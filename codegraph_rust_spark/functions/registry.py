@@ -57,6 +57,7 @@ REGISTRY: dict = {
     "hybrid_score_topk_73": (tx.hybrid_score_topk_73, tx.HYBRID_SCORE_TOPK_73_SQL),
     # --- new in round 4 ----------------------------------------------
     "ann_nsw_beam": (nsw.ann_nsw_beam, nsw.ANN_NSW_BEAM_SQL),
+    "ann_nsw_lsh": (nsw.ann_nsw_lsh, nsw.ANN_NSW_LSH_SQL),
     # --- r3-green core (flagship + engine paths stay in-window) ------
     "q1_pricing_summary": (r.q1_pricing_summary, r.Q1_SQL),
     "funnel_conversion": (r.funnel_conversion, r.FUNNEL_CONVERSION_SQL),
@@ -71,7 +72,6 @@ REGISTRY: dict = {
     # inverted-index / BM25 (SQL-expressible slice)
     "doc_stats": (tx.doc_stats, tx.DOC_STATS_SQL),
     "dictionary_stats": (tx.dictionary_stats, tx.DICTIONARY_STATS_SQL),
-    "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
     "bm25_topk": (tx.bm25_topk, tx.BM25_TOPK_SQL),
     "bm25_topk_filtered": (tx.bm25_topk_filtered, tx.BM25_TOPK_FILTERED_SQL),
     # engine-backed: the Spark side decodes the compressed postings index
@@ -115,6 +115,7 @@ REGISTRY: dict = {
     ),
     # ================= driver window boundary (position 50) ==========
     # --- driver-green in BOTH r2 and r3 on unchanged code: rotated out
+    "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
     "node_info": (r.node_info, r.NODE_INFO_SQL),
     "per_group_top5": (r.per_group_top5, r.PER_GROUP_TOP5_SQL),
     "min_max_normalize": (r.min_max_normalize, r.MIN_MAX_NORMALIZE_SQL),

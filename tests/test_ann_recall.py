@@ -14,7 +14,7 @@ def _topk_ids(df, id_col="vec_id"):
 
 def test_ann_variants_recall_vs_bruteforce(spark):
     from codegraph_rust_spark.functions.ivf_kmeans import ann_ivf_trained
-    from codegraph_rust_spark.functions.nsw import ann_nsw_beam
+    from codegraph_rust_spark.functions.nsw import ann_nsw_beam, ann_nsw_lsh
     from codegraph_rust_spark.functions.rerank import (
         ann_ivf,
         ann_multiprobe,
@@ -33,6 +33,7 @@ def test_ann_variants_recall_vs_bruteforce(spark):
         ("ivf_trained", ann_ivf_trained),
         ("signbucket", ann_signbucket),
         ("nsw_beam", ann_nsw_beam),
+        ("nsw_lsh", ann_nsw_lsh),
     ]:
         got = set(_topk_ids(fn(spark, SF)))
         recalls[name] = len(got & exact5) / 5.0
@@ -53,6 +54,9 @@ def test_ann_variants_recall_vs_bruteforce(spark):
     # at its probe budget (measured 1.0 on this deterministic table)
     assert recalls["nsw_beam"] >= recalls["ivf_trained"], recalls
     assert recalls["nsw_beam"] >= 0.8, recalls
+    # the approximate (LSH + NN-descent) graph build gives up some
+    # recall vs the exact graph but must stay useful (measured 0.8)
+    assert recalls["nsw_lsh"] >= 0.6, recalls
     # and every variant must at least contain the query vector itself
     for name, fn in [("multiprobe", ann_multiprobe), ("ivf", ann_ivf)]:
         assert 0 in _topk_ids(fn(spark, SF)), f"{name} lost the query vector"

@@ -91,3 +91,17 @@ def test_nsw_beam_hops_are_broadcast_lookups(spark):
     p = _plan(ann_nsw_beam(spark, SF, _truncate=False))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_nsw_lsh_graph_build_has_no_quadratic_join(spark):
+    """The web-scale NSW graph builder must generate candidates via
+    bucketed equi-joins (LSH bands, NN-descent key joins) only — a
+    nested-loop or cartesian stage here IS the O(n^2) build the LSH
+    path exists to avoid."""
+    from codegraph_rust_spark.functions.common import t
+    from codegraph_rust_spark.functions.nsw import _nsw_edges_lsh
+
+    e = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    p = _plan(_nsw_edges_lsh(e))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
