@@ -130,15 +130,15 @@ def main() -> None:
 
     # NSW proximity graphs are indexes (built once per session, queried
     # many times — the reference's HNSW build/search split).  Time the
-    # builds EXPLICITLY so the per-query numbers below are honest warm
-    # search latencies, not search+hidden-rebuild:
-    for name, key in (
-        ("ann_nsw_beam", "nsw_graph_build_exact"),
-        ("ann_nsw_lsh", "nsw_graph_build_lsh"),
-    ):
+    # builds EXPLICITLY — build only, via nsw.build_graph, no search
+    # mixed in — so the per-query numbers below are honest warm search
+    # latencies, not search+hidden-rebuild:
+    from codegraph_rust_spark.functions import nsw as nsw_mod
+
+    for kind in ("exact", "lsh"):
         t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        timings[key] = round(time.time() - t0, 3)
+        nsw_mod.build_graph(spark, SF_DIR, kind)
+        timings[f"nsw_graph_build_{kind}"] = round(time.time() - t0, 3)
     for name in (
         "q1_pricing_summary",
         "bm25_topk",

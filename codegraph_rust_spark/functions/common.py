@@ -11,18 +11,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-_MAX_KEY_CACHE: dict[tuple[str, str, str], int] = {}
+_MAX_KEY_CACHE: dict[tuple[str, str, str, str], int] = {}
 
 
 def max_key(spark: SparkSession, sf_dir: str, name: str, col: str) -> int:
-    """max(col) over a source table, cached per (sf_dir, table, col).
+    """max(col) over a source table, cached per (app, sf_dir, table,
+    col).
 
     The synthetic edge graphs derive their modulus from the key-space
     size; without the cache every graph entry re-scanned the whole
     column per call.  Source tables are immutable inputs (the driver's
-    parquet snapshots), so caching the scalar is safe — at real scale
-    this is a table-statistics lookup, not a scan."""
-    k = (sf_dir, name, col)
+    parquet snapshots), so caching the scalar is safe — keying by
+    applicationId (like nsw's graph cache) bounds it to one session
+    anyway — and at real scale this is a table-statistics lookup, not
+    a scan."""
+    k = (spark.sparkContext.applicationId, sf_dir, name, col)
     if k not in _MAX_KEY_CACHE:
         from pyspark.sql import functions as F
 

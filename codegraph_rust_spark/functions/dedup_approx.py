@@ -233,17 +233,12 @@ _NRM = (
 )
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-band LSH candidate
-    generation (same-bucket self-join per band, union across bands)
-    followed by exact cosine verification ≥ NEARDUP_THRESHOLD — the
-    embedding leg of the dedup family (exact hash / MinHash / SimHash /
-    n-gram Jaccard / embedding cosine).  Charikar's sign-random-
-    projection LSH with deterministic axis-sign planes so the DuckDB
-    oracle replays candidate generation bit-for-bit; dot products stay
-    in whole-stage codegen (no Python)."""
-    e = t(spark, sf_dir, "embeddings")
-    bands = e.select(
+def band_sigs(e: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) sign-band signatures over NEARDUP_BANDS —
+    the shared LSH candidate-generation front end for both the near-dup
+    verify leg (embedding_near_dup) and the NSW graph build
+    (nsw._nsw_edges_lsh), kept in one place so the two can't drift."""
+    return e.select(
         "vec_id",
         F.explode(
             F.array(
@@ -264,6 +259,33 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _sig_sql(dims: tuple[int, ...], col: str = "embedding") -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+
+
+def bands_cte_sql(table: str = "embeddings") -> str:
+    """SQL body of the bands CTE, matching band_sigs() bit-for-bit."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, {_sig_sql(dims)} AS sig FROM {table}"
+        for bi, dims in enumerate(NEARDUP_BANDS)
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-band LSH candidate
+    generation (same-bucket self-join per band, union across bands)
+    followed by exact cosine verification ≥ NEARDUP_THRESHOLD — the
+    embedding leg of the dedup family (exact hash / MinHash / SimHash /
+    n-gram Jaccard / embedding cosine).  Charikar's sign-random-
+    projection LSH with deterministic axis-sign planes so the DuckDB
+    oracle replays candidate generation bit-for-bit; dot products stay
+    in whole-stage codegen (no Python)."""
+    e = t(spark, sf_dir, "embeddings")
+    bands = band_sigs(e)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -292,18 +314,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _sig_sql(dims: tuple[int, ...], col: str = "embedding") -> str:
-    return " || ".join(
-        f"(CASE WHEN {col}[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
-    )
-
-
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH bands AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, {bi} AS band, {_sig_sql(dims)} AS sig FROM embeddings"
-      for bi, dims in enumerate(NEARDUP_BANDS)
-  )}
+  {bands_cte_sql()}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -120,32 +120,12 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
     pairs across rounds and caps bucket width against band skew; one
     round with rescoring keeps the oracle compact — the plan shape is
     identical.)"""
-    from .dedup_approx import NEARDUP_BANDS
+    from .dedup_approx import band_sigs
 
     en = e.select(
         "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
     )
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat(
-                            *[
-                                F.when(
-                                    F.element_at("embedding", dim) >= 0, F.lit("1")
-                                ).otherwise(F.lit("0"))
-                                for dim in dims
-                            ]
-                        ).alias("sig"),
-                    )
-                    for bi, dims in enumerate(NEARDUP_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = band_sigs(e)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -283,31 +263,66 @@ _GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _cached_graph(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     k = (spark.sparkContext.applicationId, sf_dir, name)
     if k not in _GRAPH_CACHE:
-        # materialize once: the graph feeds every hop of every query
-        _GRAPH_CACHE[k] = build().localCheckpoint(eager=True)
+        # lazy checkpoint: plan is truncated at construction (the
+        # returned frame wraps the checkpointed RDD) without the
+        # count() job an eager checkpoint adds; the materialized RDD
+        # is reused by every later hop / query in the session
+        _GRAPH_CACHE[k] = build().localCheckpoint(eager=False)
     return _GRAPH_CACHE[k]
+
+
+_GRAPH_BUILDERS = {"exact": _nsw_edges, "lsh": _nsw_edges_lsh}
+
+
+def build_graph(spark: SparkSession, sf_dir: str, kind: str) -> int:
+    """Force-build (and cache) the ``kind`` ∈ {exact, lsh} proximity
+    graph, returning its edge count — lets bench.py time graph
+    CONSTRUCTION separately from search (the reference builds its HNSW
+    graph at index time, surql:815-823)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _cached_graph(
+        spark, sf_dir, kind, lambda: _GRAPH_BUILDERS[kind](e)
+    ).count()
+
+
+def _ann_nsw(
+    spark: SparkSession, sf_dir: str, kind: str, _truncate: bool
+) -> DataFrame:
+    """Shared body of the two NSW entries: resolve the ``kind`` graph
+    (cached across queries), then beam-search it.
+
+    Per-hop truncation: each hop's plan references the running visited
+    set twice (union leg + beam leg) — without checkpoints the subtrees
+    re-evaluate 2^NSW_HOPS times.  Checkpoints are LAZY (eager=False),
+    which drops the extra count() job eager checkpoints launch per hop;
+    note it does NOT make construction free — under AQE each
+    checkpoint's toRdd still materializes its upstream shuffle stages,
+    so the hop loop executes during construction and only the final
+    stage defers to the first action (measured: ~0.3 s action after
+    construction).  Inherent to driver-side iterative loops; the graph
+    cache amortizes the expensive part across calls.  _truncate=False
+    keeps the whole plan un-checkpointed so the plan-quality test can
+    assert the hop joins broadcast the beam side (and bypasses the
+    graph cache)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if _truncate else df
+
+    edges = (
+        _cached_graph(spark, sf_dir, kind, lambda: _GRAPH_BUILDERS[kind](e))
+        if _truncate
+        else _GRAPH_BUILDERS[kind](e)
+    )
+    return _beam_search(e, edges, cp)
 
 
 def ann_nsw_beam(
     spark: SparkSession, sf_dir: str, _truncate: bool = True
 ) -> DataFrame:
     """NSW beam-search top-k (exact M-NN graph) against the vec_id=0
-    query vector — see ``_beam_search`` for the per-hop plan."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # per-hop truncation: each hop's plan references the running
-    # visited set twice (union leg + beam leg) — without checkpoints
-    # the subtrees re-evaluate 2^NSW_HOPS times.  _truncate=False keeps
-    # the whole plan lazy so the plan-quality test can assert the hop
-    # joins broadcast the beam side (and bypasses the graph cache).
-    def cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if _truncate else df
-
-    edges = (
-        _cached_graph(spark, sf_dir, "exact", lambda: _nsw_edges(e))
-        if _truncate
-        else _nsw_edges(e)
-    )
-    return _beam_search(e, edges, cp)
+    query vector — see ``_ann_nsw`` / ``_beam_search`` for the plan."""
+    return _ann_nsw(spark, sf_dir, "exact", _truncate)
 
 
 def ann_nsw_lsh(
@@ -316,17 +331,7 @@ def ann_nsw_lsh(
     """NSW beam-search top-k over the LSH + NN-descent graph — the
     10^12-vector build path (no O(n^2) stage anywhere; see
     ``_nsw_edges_lsh``).  Query path identical to ``ann_nsw_beam``."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if _truncate else df
-
-    edges = (
-        _cached_graph(spark, sf_dir, "lsh", lambda: _nsw_edges_lsh(e))
-        if _truncate
-        else _nsw_edges_lsh(e)
-    )
-    return _beam_search(e, edges, cp)
+    return _ann_nsw(spark, sf_dir, "lsh", _truncate)
 
 
 # per-src top-M window shared by every oracle graph build
@@ -354,7 +359,7 @@ edges AS (
 def _lsh_graph_ctes() -> str:
     """LSH + one-NN-descent-round graph build, mirroring
     ``_nsw_edges_lsh`` stage for stage."""
-    from .dedup_approx import NEARDUP_BANDS, _sig_sql
+    from .dedup_approx import bands_cte_sql
 
     score = (
         "SELECT c.src, c.dst,"
@@ -363,12 +368,8 @@ def _lsh_graph_ctes() -> str:
         " FROM {cand} c JOIN en ea ON ea.vec_id = c.src"
         " JOIN en eb ON eb.vec_id = c.dst"
     )
-    bands_union = " UNION ALL ".join(
-        f"SELECT vec_id, {bi} AS band, {_sig_sql(dims)} AS sig FROM embeddings"
-        for bi, dims in enumerate(NEARDUP_BANDS)
-    )
     return f"""
-bands AS ({bands_union}),
+bands AS ({bands_cte_sql()}),
 cand AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
   FROM bands a JOIN bands b

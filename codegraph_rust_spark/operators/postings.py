@@ -184,7 +184,11 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
                 texts = cols[src_col].to_pylist()
             n_rows = len(texts)
             doc_lens = np.empty(n_rows, dtype=np.int64)
-            offsets = np.empty(n_rows + 1, dtype=np.int32)
+            # accumulate offsets in int64: Arrow list<> carries int32
+            # offsets, so >2^31 flat values per batch would silently
+            # wrap — impossible at the default 10k-records Arrow batch
+            # size, but guarded loudly below rather than corrupting
+            offsets = np.empty(n_rows + 1, dtype=np.int64)
             offsets[0] = 0
             id_chunks: list[np.ndarray] = []
             tf_chunks: list[np.ndarray] = []
@@ -212,6 +216,12 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
                 np.concatenate(tf_chunks) if tf_chunks
                 else np.empty(0, dtype=np.int32)
             )
+            if offsets[n_rows] >= 2**31:
+                raise ValueError(
+                    f"tokenize batch has {offsets[n_rows]} flat terms — "
+                    "exceeds Arrow int32 list offsets; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             off_arr = pa.array(offsets, type=pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [

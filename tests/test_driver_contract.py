@@ -127,7 +127,14 @@ def test_oracle_type_parity(spark, ducked):
             styp = stypes.get(col)
             if styp is None:
                 offenders.append(f"{name}.{col}: oracle-only column")
-            elif base in compat and styp not in compat[base]:
+            elif base not in compat:
+                # strict allowlist: an unvetted oracle type (DECIMAL
+                # materializes as object Decimal in pandas, INTERVAL
+                # etc.) must be explicitly classified before it ships
+                offenders.append(
+                    f"{name}.{col}: unvetted oracle type {dtyp}"
+                )
+            elif styp not in compat[base]:
                 offenders.append(
                     f"{name}.{col}: oracle {dtyp} vs spark {styp}"
                 )
