@@ -334,6 +334,183 @@ def ann_nsw_lsh(
     return _ann_nsw(spark, sf_dir, "lsh", _truncate)
 
 
+# ---------------------------------------------------- incremental insert
+
+
+def nsw_insert(
+    e_old: DataFrame, edges_old: DataFrame, e_new: DataFrame
+) -> DataFrame:
+    """Incremental NSW insert: extend an existing proximity graph with
+    a batch of new vectors WITHOUT rebuilding it — the vector-side
+    analog of the text index's single-doc incremental reindex
+    (streaming/incremental.py), and the Spark re-expression of how the
+    reference actually constructs its HNSW index (insert-time neighbor
+    selection: each inserted vector beam-searches the current graph
+    for its M links, then the touched nodes' neighbor lists shrink
+    back to M — surql:815-823, codegraph-vector's HNSW insert path).
+
+    Plan shape, all stages bounded by |batch| — never a corpus scan:
+
+    1. BATCHED beam search of the old graph for all new vectors at
+       once (the single-query hop loop of ``_beam_search`` with a qid
+       column: per hop, one join of the |batch|·EF-row beam against
+       the src-partitioned edges table + one scoring join).
+    2. New×new candidates via the shared sign-band LSH buckets
+       (``band_sigs`` — same-batch vectors must see each other, as
+       sequential HNSW inserts do), verified by exact cosine.
+    3. Neighbor selection: per new vector, top-M of (beam-visited ∪
+       same-bucket) by (cosine DESC, id ASC) → forward edges.
+    4. Symmetrize + shrink: reverse edges point the selected
+       neighbors back at the new vectors; ONLY the affected neighbor
+       lists (≤ |batch|·M srcs) are re-scored and re-truncated to M —
+       every untouched adjacency list passes through byte-identical.
+
+    Degree stays ≤ NSW_M everywhere; all cosines use the same hoisted
+    round(·, 6) arithmetic as the batch builders, so a vector inserted
+    incrementally scores identically to one present at build time.
+    Deterministic: total orders everywhere → same inputs, same graph.
+    Gated by tests/test_nsw_incremental.py (invariants, determinism,
+    search recall through the spliced graph)."""
+    from .dedup_approx import band_sigs
+
+    def with_nrm(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+        )
+
+    en_old, en_new = with_nrm(e_old), with_nrm(e_new)
+    q = en_new.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+    def score(df: DataFrame, against: DataFrame) -> DataFrame:
+        # cosine(new vector qid, corpus vector vec_id) for (qid, vec_id)
+        return (
+            df.join(against, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.round(
+                    F.expr(_DOT.format(a="embedding", b="q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    def topn(df: DataFrame, n: int) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= n)
+            .drop("rn")
+        )
+
+    # 1. batched beam search of the OLD graph
+    seeds = (
+        e_old.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(NSW_SEEDS)
+        .select("vec_id")
+    )
+    visited = score(q.select("qid").crossJoin(F.broadcast(seeds)), en_old)
+    beam = topn(visited, NSW_EF)
+    for _ in range(NSW_HOPS):
+        reached = (
+            edges_old.join(
+                F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
+                "src",
+            )
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        visited = (
+            visited.unionByName(score(reached, en_old))
+            .groupBy("qid", "vec_id")
+            .agg(F.max("cosine").alias("cosine"))
+        ).localCheckpoint(eager=False)
+        beam = topn(visited, NSW_EF)
+
+    # 2. same-batch candidates via the shared LSH bands
+    nb = band_sigs(e_new)
+    a, b = nb.alias("a"), nb.alias("b")
+    nn_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+
+    # 3. neighbor selection → forward edges
+    cand = (
+        visited.unionByName(score(nn_cand, en_new))
+        .groupBy("qid", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    fwd = topn(cand, NSW_M).select(
+        F.col("qid").alias("src"), F.col("vec_id").alias("dst"), F.col("cosine").alias("cos")
+    )
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+    )
+
+    # 4. shrink ONLY the affected lists back to M
+    en_full = en_old.unionByName(en_new)
+    affected = rev.select("src").distinct()
+    old_aff = (
+        edges_old.join(F.broadcast(affected), "src")
+        .join(
+            en_full.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("a_emb"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "src",
+        )
+        .join(
+            en_full.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("b_emb"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(_DOT.format(a="a_emb", b="b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    pool = (
+        old_aff.unionByName(fwd)
+        .unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.max("cos").alias("cos"))
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    respliced = (
+        pool.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    untouched = edges_old.join(
+        pool.select("src").distinct(), "src", "left_anti"
+    )
+    return untouched.unionByName(respliced)
+
+
 # per-src top-M window shared by every oracle graph build
 _TOP_M_SQL = (
     "SELECT src, dst FROM ("

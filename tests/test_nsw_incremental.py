@@ -1,0 +1,99 @@
+"""Incremental NSW insert gates (nsw.nsw_insert) — the vector-side
+analog of the single-doc text reindex: split the real embeddings table
+80/20, build the exact graph on the 80%, insert the 20% as a batch,
+then assert structural invariants, determinism, and that beam search
+through the SPLICED graph still finds the exact top-k.
+
+Reference parity: the reference's HNSW index is CONSTRUCTED by
+insert-time neighbor selection (surql:815-823); this is that operation
+as bounded Spark joins."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split(spark):
+    from codegraph_rust_spark.functions.common import t
+
+    e = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    e_old = e.filter(F.col("vec_id") % 5 != 0)
+    e_new = e.filter(F.col("vec_id") % 5 == 0)
+    return e, e_old, e_new
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def test_nsw_insert_invariants_and_determinism(spark):
+    from codegraph_rust_spark.functions.nsw import (
+        NSW_M,
+        _nsw_edges,
+        nsw_insert,
+    )
+
+    e, e_old, e_new = _split(spark)
+    edges_old = _nsw_edges(e_old).localCheckpoint()
+    spliced = nsw_insert(e_old, edges_old, e_new)
+    got = _edge_set(spliced)
+
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    new_ids = {r["vec_id"] for r in e_new.select("vec_id").collect()}
+    srcs = {s for s, _ in got}
+    # every vector (old and new) keeps an adjacency list
+    assert srcs == all_ids
+    # no self-loops, no dangling endpoints
+    assert all(s != d for s, d in got)
+    assert {d for _, d in got} <= all_ids
+    # degree bound holds everywhere after the shrink pass
+    deg = {}
+    for s, _ in got:
+        deg[s] = deg.get(s, 0) + 1
+    assert max(deg.values()) <= NSW_M
+    # new vectors got a full complement of links (the batch plus the
+    # old corpus dwarf NSW_M candidates at this SF)
+    assert all(deg[n] == NSW_M for n in new_ids)
+    # untouched old lists pass through byte-identical
+    affected_old = {s for s, d in got if d in new_ids}
+    old_edges = _edge_set(edges_old)
+    for s, d in old_edges:
+        if s not in affected_old:
+            assert (s, d) in got
+    # deterministic: same inputs, same graph
+    again = _edge_set(nsw_insert(e_old, edges_old, e_new))
+    assert again == got
+
+
+def test_nsw_insert_search_recall(spark):
+    """Beam search through the incrementally-spliced graph must still
+    recover the exact top-k for a query (vec_id=0 is itself one of the
+    INSERTED vectors — the hard case: its links were made by the
+    insert path, not the batch builder)."""
+    from codegraph_rust_spark.functions.nsw import (
+        NSW_K,
+        _beam_search,
+        _nsw_edges,
+        nsw_insert,
+    )
+    from codegraph_rust_spark.functions.textops import knn_bruteforce
+
+    e, e_old, e_new = _split(spark)
+    edges_old = _nsw_edges(e_old).localCheckpoint()
+    spliced = nsw_insert(e_old, edges_old, e_new).localCheckpoint()
+
+    def cp(df):
+        return df.localCheckpoint(eager=False)
+
+    got = [r["vec_id"] for r in _beam_search(e, spliced, cp).collect()]
+    exact = [r["vec_id"] for r in knn_bruteforce(spark, SF).collect()][:NSW_K]
+    recall = len(set(got) & set(exact)) / float(NSW_K)
+    # measured 1.0 on this deterministic table; the gate allows one
+    # boundary miss
+    assert recall >= 0.8, (recall, got, exact)
+    # the from-scratch exact graph on the FULL table is the upper
+    # bound; spliced recall must not fall more than one hit behind
+    full = _nsw_edges(e).localCheckpoint()
+    got_full = [r["vec_id"] for r in _beam_search(e, full, cp).collect()]
+    recall_full = len(set(got_full) & set(exact)) / float(NSW_K)
+    assert recall >= recall_full - 0.2, (recall, recall_full)
