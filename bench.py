@@ -139,6 +139,19 @@ def main() -> None:
         t0 = time.time()
         nsw_mod.build_graph(spark, SF_DIR, kind)
         timings[f"nsw_graph_build_{kind}"] = round(time.time() - t0, 3)
+
+    # vector query SERVICE throughput: 50 queries through the cached
+    # LSH graph in ONE batched beam search (qid-keyed hop loop — the
+    # ANN twin of the BM25 topk_batch number)
+    nsw_qids = list(range(0, 500, 10))
+    t0 = time.time()
+    n_res = nsw_mod.nsw_search_batch(spark, SF_DIR, nsw_qids, kind="lsh").count()
+    nsw_wall = time.time() - t0
+    timings["nsw_batch_50q"] = round(nsw_wall, 3)
+    extras_nsw = {
+        "nsw_queries_per_sec": round(len(nsw_qids) / nsw_wall, 2),
+        "nsw_batch_results": n_res,
+    }
     for name in (
         "q1_pricing_summary",
         "bm25_topk",
@@ -207,6 +220,7 @@ def main() -> None:
         "total_postings": metrics.get("total_postings"),
         "bm25_results": len(batch),
         "maxscore_queries_per_sec": round(len(queries) / batch_ms_wall, 2),
+        **extras_nsw,
         "op_timing": "min_of_2_runs",
         "scaling_efficiency_n_to_4n_stored": scaling_eff,
         "scaling_efficiency_source": scaling_src,

@@ -334,6 +334,112 @@ def ann_nsw_lsh(
     return _ann_nsw(spark, sf_dir, "lsh", _truncate)
 
 
+# ----------------------------------------- batched search (shared hop loop)
+
+
+def _batched_visited(
+    en_corpus: DataFrame, edges: DataFrame, q: DataFrame, cp
+) -> DataFrame:
+    """(qid, vec_id, cosine) visited set of a beam search run for MANY
+    query vectors at once — the single-query hop loop of
+    ``_beam_search`` with a qid column.  Per hop: ONE join of the
+    |queries|·EF-row beam against the src-partitioned edges table plus
+    ONE scoring join, whatever the batch size — the amortization that
+    makes vector search a query SERVICE rather than a job per query
+    (same motive as the BM25 ``topk_batch`` path).
+
+    ``en_corpus`` must carry (vec_id, embedding, nrm); ``q`` carries
+    (qid, q_emb, q_nrm).  Seeds are the corpus-global deterministic
+    entry points (smallest md5(vec_id)) — identical to the
+    single-query path, so for any one qid the batched result EQUALS
+    the single-query result (pinned by test)."""
+
+    def score(df: DataFrame) -> DataFrame:
+        return (
+            df.join(en_corpus, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.round(
+                    F.expr(_DOT.format(a="embedding", b="q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    def topn(df: DataFrame, n: int) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= n)
+            .drop("rn")
+        )
+
+    seeds = (
+        en_corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(NSW_SEEDS)
+        .select("vec_id")
+    )
+    visited = score(q.select("qid").crossJoin(F.broadcast(seeds)))
+    beam = topn(visited, NSW_EF)
+    for _ in range(NSW_HOPS):
+        reached = (
+            edges.join(
+                F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
+                "src",
+            )
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        visited = cp(
+            visited.unionByName(score(reached))
+            .groupBy("qid", "vec_id")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+        beam = topn(visited, NSW_EF)
+    return visited
+
+
+def nsw_search_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    qids: list[int],
+    kind: str = "lsh",
+    k: int = NSW_K,
+) -> DataFrame:
+    """Per-query top-k (qid, vec_id, cosine, rank) for a BATCH of
+    query vectors (taken from the embeddings table by id) through the
+    session-cached ``kind`` proximity graph — the vector-side query
+    service.  One Spark job serves the whole batch; per-qid results
+    are identical to running ``ann_nsw_beam``-style single searches
+    (gated by tests/test_nsw_incremental.py)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en = e.select(
+        "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+    )
+    q = en.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    edges = _cached_graph(
+        spark, sf_dir, kind, lambda: _GRAPH_BUILDERS[kind](e)
+    )
+    visited = _batched_visited(
+        en, edges, q, lambda df: df.localCheckpoint(eager=False)
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        visited.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------- incremental insert
 
 
@@ -385,6 +491,11 @@ def nsw_insert(
         F.col("nrm").alias("q_nrm"),
     )
 
+    # 1. batched beam search of the OLD graph (shared hop loop)
+    visited = _batched_visited(
+        en_old, edges_old, q, lambda df: df.localCheckpoint(eager=False)
+    )
+
     def score(df: DataFrame, against: DataFrame) -> DataFrame:
         # cosine(new vector qid, corpus vector vec_id) for (qid, vec_id)
         return (
@@ -409,31 +520,6 @@ def nsw_insert(
             .filter(F.col("rn") <= n)
             .drop("rn")
         )
-
-    # 1. batched beam search of the OLD graph
-    seeds = (
-        e_old.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(NSW_SEEDS)
-        .select("vec_id")
-    )
-    visited = score(q.select("qid").crossJoin(F.broadcast(seeds)), en_old)
-    beam = topn(visited, NSW_EF)
-    for _ in range(NSW_HOPS):
-        reached = (
-            edges_old.join(
-                F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
-                "src",
-            )
-            .select("qid", F.col("dst").alias("vec_id"))
-            .distinct()
-        )
-        visited = (
-            visited.unionByName(score(reached, en_old))
-            .groupBy("qid", "vec_id")
-            .agg(F.max("cosine").alias("cosine"))
-        ).localCheckpoint(eager=False)
-        beam = topn(visited, NSW_EF)
 
     # 2. same-batch candidates via the shared LSH bands
     nb = band_sigs(e_new)

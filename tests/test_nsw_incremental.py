@@ -65,6 +65,37 @@ def test_nsw_insert_invariants_and_determinism(spark):
     assert again == got
 
 
+def test_nsw_search_batch_matches_single_query(spark):
+    """The batched query service must return, per qid, EXACTLY the
+    single-query beam-search result — same seeds, same hop structure,
+    same tie-breaks; batching only amortizes the per-hop joins."""
+    from codegraph_rust_spark.functions.nsw import (
+        ann_nsw_beam,
+        nsw_search_batch,
+    )
+
+    single = [
+        (r["vec_id"], r["cosine"], r["rank"])
+        for r in ann_nsw_beam(spark, SF).collect()
+    ]
+    batch = nsw_search_batch(spark, SF, qids=[0, 5, 10], kind="exact")
+    rows = batch.collect()
+    got0 = sorted(
+        [(r["vec_id"], r["cosine"], r["rank"]) for r in rows if r["qid"] == 0],
+        key=lambda x: x[2],
+    )
+    assert got0 == single
+    # every query in the batch got a full top-k, ranked 1..k, and
+    # finds itself first (its own vector is in the corpus)
+    for qid in (0, 5, 10):
+        mine = sorted(
+            [(r["vec_id"], r["rank"]) for r in rows if r["qid"] == qid],
+            key=lambda x: x[1],
+        )
+        assert [rk for _, rk in mine] == list(range(1, len(mine) + 1))
+        assert mine[0][0] == qid
+
+
 def test_nsw_insert_search_recall(spark):
     """Beam search through the incrementally-spliced graph must still
     recover the exact top-k for a query (vec_id=0 is itself one of the
