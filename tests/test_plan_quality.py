@@ -93,6 +93,35 @@ def test_nsw_beam_hops_are_broadcast_lookups(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_nsw_batched_search_hops_are_broadcast_lookups(spark):
+    """The batched query service must keep the same hop plan as the
+    single-query path: the (|batch|·EF)-row beam broadcasts into the
+    src-partitioned edges table, never a shuffle of the adjacency
+    lists.  (The 8-row seed fan-out is a broadcast nested loop by
+    construction — bounded, allowed.)"""
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.functions.common import t
+    from codegraph_rust_spark.functions.nsw import (
+        _NRM,
+        _batched_visited,
+        _nsw_edges,
+    )
+
+    e = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    en = e.select(
+        "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+    )
+    q = en.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    p = _plan(_batched_visited(en, _nsw_edges(e), q, lambda d: d))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_nsw_lsh_graph_build_has_no_quadratic_join(spark):
     """The web-scale NSW graph builder must generate candidates via
     bucketed equi-joins (LSH bands, NN-descent key joins) only — a
