@@ -58,6 +58,7 @@ REGISTRY: dict = {
     # --- new in round 4 ----------------------------------------------
     "ann_nsw_beam": (nsw.ann_nsw_beam, nsw.ANN_NSW_BEAM_SQL),
     "ann_nsw_lsh": (nsw.ann_nsw_lsh, nsw.ANN_NSW_LSH_SQL),
+    "ann_nsw_batch": (nsw.ann_nsw_batch, nsw.ANN_NSW_BATCH_SQL),
     # --- r3-green core (flagship + engine paths stay in-window) ------
     "q1_pricing_summary": (r.q1_pricing_summary, r.Q1_SQL),
     "funnel_conversion": (r.funnel_conversion, r.FUNNEL_CONVERSION_SQL),
@@ -109,12 +110,13 @@ REGISTRY: dict = {
     ),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
+    # ================= driver window boundary (position 50) ==========
+    # --- driver-green in r3 (search_chunks_with_context) or in BOTH
+    # r2 and r3 on unchanged code: rotated out this round
     "search_chunks_with_context": (
         ck.search_chunks_with_context,
         ck.SEARCH_CHUNKS_WITH_CONTEXT_SQL,
     ),
-    # ================= driver window boundary (position 50) ==========
-    # --- driver-green in BOTH r2 and r3 on unchanged code: rotated out
     "corpus_stats": (tx.corpus_stats, tx.CORPUS_STATS_SQL),
     "node_info": (r.node_info, r.NODE_INFO_SQL),
     "per_group_top5": (r.per_group_top5, r.PER_GROUP_TOP5_SQL),
