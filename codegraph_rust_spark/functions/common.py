@@ -25,8 +25,12 @@ def max_key(spark: SparkSession, sf_dir: str, name: str, col: str) -> int:
     applicationId (like nsw's graph cache) bounds it to one session
     anyway — and at real scale this is a table-statistics lookup, not
     a scan."""
-    k = (spark.sparkContext.applicationId, sf_dir, name, col)
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, name, col)
     if k not in _MAX_KEY_CACHE:
+        # evict keys from dead sessions (known-useless by construction)
+        for stale in [x for x in _MAX_KEY_CACHE if x[0] != app]:
+            del _MAX_KEY_CACHE[stale]
         from pyspark.sql import functions as F
 
         row = t(spark, sf_dir, name).agg(F.max(col)).collect()[0]

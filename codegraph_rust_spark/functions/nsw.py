@@ -75,6 +75,19 @@ _NRM = (
 )
 
 
+def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
+    """round(x, 6) with HALF-AWAY-FROM-ZERO ties — the semantics of
+    Spark's F.round and DuckDB's round.  numpy's np.round is
+    half-to-EVEN, which disagrees on exact 7-decimal halves (e.g.
+    1/128 → 0.007812 vs 0.007813) and would break the cross-engine
+    edge-identity contract.  The scaled-floor formulation shares
+    DuckDB's float-scaling class (Spark expands the exact BigDecimal);
+    the residual disagreement window (~1e-10 around half boundaries)
+    is the same one the 67 already-green Spark↔DuckDB oracles live
+    with."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _nsw_edges(e: DataFrame) -> DataFrame:
     """The M-NN proximity graph: per-src top-NSW_M neighbors by exact
     cosine — the ground-truth builder (the LSH + NN-descent builder is
@@ -94,7 +107,10 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
     Spark's sequential aggregate() fold bit-for-bit after rounding.
     The driver-side collect is bounded by the ground-truth role
     (ids×dim matrix, ≤ a few MB at test SFs); above that the LSH
-    builder IS the path, or block the right-hand side too."""
+    builder IS the path, or block the right-hand side too.  The
+    collect and the broadcast happen at CONSTRUCTION time, and the
+    broadcast lives until the session ends (it must outlive the lazy
+    frame; MB-scale at ground-truth sizes — acceptable, documented)."""
     spark = e.sparkSession
     rows = e.select("vec_id", "embedding").collect()
     if not rows:
@@ -116,7 +132,7 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
                 continue
             block = np.array(rb.column(1).to_pylist(), dtype=np.float64)
             block /= np.linalg.norm(block, axis=1, keepdims=True)
-            cos = np.round(block @ b_unit.T, 6)
+            cos = _round6_half_up(block @ b_unit.T)
             # exclude self-pairs (b_ids is sorted — locate own column)
             pos = np.searchsorted(b_ids, src_ids)
             ok = (pos < len(b_ids)) & (
@@ -295,8 +311,13 @@ _GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached_graph(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, name)
     if k not in _GRAPH_CACHE:
+        # evict entries pinned to dead sessions (their checkpoint
+        # handles are invalid by construction — see keying rationale)
+        for stale in [x for x in _GRAPH_CACHE if x[0] != app]:
+            del _GRAPH_CACHE[stale]
         # lazy checkpoint: plan is truncated at construction (the
         # returned frame wraps the checkpointed RDD) without the
         # count() job an eager checkpoint adds; the materialized RDD
@@ -371,6 +392,39 @@ def ann_nsw_lsh(
 # ----------------------------------------- batched search (shared hop loop)
 
 
+def _score_q(df: DataFrame, against: DataFrame, q: DataFrame) -> DataFrame:
+    """(qid, vec_id) → (qid, vec_id, cosine) against a corpus frame
+    carrying (vec_id, embedding, nrm) and a broadcast query frame
+    carrying (qid, q_emb, q_nrm).  ONE definition shared by the
+    batched search and the insert path so the 'batch EQUALS single'
+    and 'insert scores identically to build time' contracts can't
+    drift (hoisted-norm cosine — same float ops as the builders)."""
+    return (
+        df.join(against, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="embedding", b="q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def _topn_q(df: DataFrame, n: int) -> DataFrame:
+    """Per-qid top-n by (cosine DESC, vec_id ASC) — the one ranking
+    window every qid-keyed stage shares."""
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
 def _batched_visited(
     en_corpus: DataFrame, edges: DataFrame, q: DataFrame, cp
 ) -> DataFrame:
@@ -389,28 +443,10 @@ def _batched_visited(
     the single-query result (pinned by test)."""
 
     def score(df: DataFrame) -> DataFrame:
-        return (
-            df.join(en_corpus, "vec_id")
-            .join(F.broadcast(q), "qid")
-            .select(
-                "qid",
-                "vec_id",
-                F.round(
-                    F.expr(_DOT.format(a="embedding", b="q_emb"))
-                    / (F.col("nrm") * F.col("q_nrm")),
-                    6,
-                ).alias("cosine"),
-            )
-        )
-
-    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return _score_q(df, en_corpus, q)
 
     def topn(df: DataFrame, n: int) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= n)
-            .drop("rn")
-        )
+        return _topn_q(df, n)
 
     seeds = (
         en_corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -468,7 +504,7 @@ def nsw_search_batch(
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        visited.withColumn("rank", F.row_number().over(wq))
+        visited.withColumn("rank", F.row_number().over(wq).cast("int"))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
@@ -510,8 +546,19 @@ def nsw_insert(
     incrementally scores identically to one present at build time.
     Deterministic: total orders everywhere → same inputs, same graph.
     Gated by tests/test_nsw_incremental.py (invariants, determinism,
-    search recall through the spliced graph)."""
+    search recall through the spliced graph).
+
+    Requires a NON-EMPTY base graph: with no old vectors there are no
+    seeds, so an outlier new vector sharing no LSH bucket would get no
+    candidates and silently vanish from the adjacency set.  Bootstrap
+    with the batch builders (``build_graph``); insert increments."""
     from .dedup_approx import band_sigs
+
+    if e_old.limit(1).count() == 0:
+        raise ValueError(
+            "nsw_insert needs a non-empty base graph — bootstrap with "
+            "_nsw_edges/_nsw_edges_lsh (build_graph), then insert"
+        )
 
     def with_nrm(df: DataFrame) -> DataFrame:
         return df.select(
@@ -530,31 +577,6 @@ def nsw_insert(
         en_old, edges_old, q, lambda df: df.localCheckpoint(eager=False)
     )
 
-    def score(df: DataFrame, against: DataFrame) -> DataFrame:
-        # cosine(new vector qid, corpus vector vec_id) for (qid, vec_id)
-        return (
-            df.join(against, "vec_id")
-            .join(F.broadcast(q), "qid")
-            .select(
-                "qid",
-                "vec_id",
-                F.round(
-                    F.expr(_DOT.format(a="embedding", b="q_emb"))
-                    / (F.col("nrm") * F.col("q_nrm")),
-                    6,
-                ).alias("cosine"),
-            )
-        )
-
-    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-
-    def topn(df: DataFrame, n: int) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= n)
-            .drop("rn")
-        )
-
     # 2. same-batch candidates via the shared LSH bands
     nb = band_sigs(e_new)
     a, b = nb.alias("a"), nb.alias("b")
@@ -571,11 +593,11 @@ def nsw_insert(
 
     # 3. neighbor selection → forward edges
     cand = (
-        visited.unionByName(score(nn_cand, en_new))
+        visited.unionByName(_score_q(nn_cand, en_new, q))
         .groupBy("qid", "vec_id")
         .agg(F.max("cosine").alias("cosine"))
     )
-    fwd = topn(cand, NSW_M).select(
+    fwd = _topn_q(cand, NSW_M).select(
         F.col("qid").alias("src"), F.col("vec_id").alias("dst"), F.col("cosine").alias("cos")
     )
     rev = fwd.select(
@@ -613,12 +635,15 @@ def nsw_insert(
             ).alias("cos"),
         )
     )
+    # checkpoint: the final union references pool twice (respliced +
+    # the untouched anti-join) — without truncation the whole
+    # fwd/rev/old_aff pipeline would evaluate twice per action
     pool = (
         old_aff.unionByName(fwd)
         .unionByName(rev)
         .groupBy("src", "dst")
         .agg(F.max("cos").alias("cos"))
-    )
+    ).localCheckpoint(eager=False)
     ws = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     respliced = (
         pool.withColumn("rn", F.row_number().over(ws))

@@ -65,6 +65,23 @@ def test_nsw_insert_invariants_and_determinism(spark):
     assert again == got
 
 
+def test_nsw_insert_rejects_empty_base(spark):
+    """Bootstrap must go through the batch builders: with no old
+    vectors there are no seeds, and an outlier new vector with unique
+    LSH bands would silently vanish from the adjacency set."""
+    import pytest
+
+    from codegraph_rust_spark.functions.nsw import nsw_insert
+
+    e, _, e_new = _split(spark)
+    empty = e.filter(F.col("vec_id") < 0)
+    empty_edges = empty.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    with pytest.raises(ValueError, match="non-empty base"):
+        nsw_insert(empty, empty_edges, e_new)
+
+
 def test_nsw_search_batch_matches_single_query(spark):
     """The batched query service must return, per qid, EXACTLY the
     single-query beam-search result — same seeds, same hop structure,
