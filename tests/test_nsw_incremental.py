@@ -65,6 +65,53 @@ def test_nsw_insert_invariants_and_determinism(spark):
     assert again == got
 
 
+def test_gemm_build_matches_sql_fold(spark):
+    """The blocked-GEMM exact builder must produce the IDENTICAL edge
+    set to the declarative SQL-fold formulation — the half-away-from-
+    zero round(cos,6) ranking contract in action (np.round's
+    half-to-even would break this on exact 7-decimal halves)."""
+    from pyspark.sql import Window
+
+    from codegraph_rust_spark.functions.common import t
+    from codegraph_rust_spark.functions.nsw import (
+        _DOT,
+        _NRM,
+        NSW_M,
+        _nsw_edges,
+    )
+
+    e = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    en = e.select(
+        "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+    )
+    a = en.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(b, a.src != b.dst).select(
+        "src",
+        "dst",
+        F.round(
+            F.expr(_DOT.format(a="a_emb", b="b_emb"))
+            / (F.col("a_nrm") * F.col("b_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    sql_fold = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    assert _edge_set(_nsw_edges(e)) == _edge_set(sql_fold)
+
+
 def test_nsw_insert_rejects_empty_base(spark):
     """Bootstrap must go through the batch builders: with no old
     vectors there are no seeds, and an outlier new vector with unique
