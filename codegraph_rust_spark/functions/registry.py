@@ -11,6 +11,7 @@ re-keyed to an md5-derived family both engines compute identically.
 from __future__ import annotations
 
 from . import chunking as ck
+from . import decontam as dc
 from . import dedup_approx as da
 from . import embedder as em
 from . import graph as g
@@ -59,6 +60,11 @@ REGISTRY: dict = {
     "ann_nsw_beam": (nsw.ann_nsw_beam, nsw.ANN_NSW_BEAM_SQL),
     "ann_nsw_lsh": (nsw.ann_nsw_lsh, nsw.ANN_NSW_LSH_SQL),
     "ann_nsw_batch": (nsw.ann_nsw_batch, nsw.ANN_NSW_BATCH_SQL),
+    "decontaminate_ngram_overlap": (
+        dc.decontaminate_ngram_overlap,
+        dc.DECONTAMINATE_NGRAM_OVERLAP_SQL,
+    ),
+    "repetition_profile": (dc.repetition_profile, dc.REPETITION_PROFILE_SQL),
     # --- r3-green core (flagship + engine paths stay in-window) ------
     "q1_pricing_summary": (r.q1_pricing_summary, r.Q1_SQL),
     "funnel_conversion": (r.funnel_conversion, r.FUNNEL_CONVERSION_SQL),
@@ -104,15 +110,17 @@ REGISTRY: dict = {
         da.neardup_cluster_sizes,
         da.NEARDUP_CLUSTER_SIZES_SQL,
     ),
+    # ================= driver window boundary (position 50) ==========
+    # --- driver-green in r3 on unchanged code (curate_training_sample,
+    # chunk_documents, search_chunks_with_context) or in BOTH r2 and
+    # r3: rotated out this round to make room for the never-verified
+    # r4 additions (NSW batch service, decontamination, repetition)
     "curate_training_sample": (
         pl.curate_training_sample,
         pl.CURATE_TRAINING_SAMPLE_SQL,
     ),
     # chunking / reranking (training-data prep + post-retrieval stages)
     "chunk_documents": (ck.chunk_documents, ck.CHUNK_DOCUMENTS_SQL),
-    # ================= driver window boundary (position 50) ==========
-    # --- driver-green in r3 (search_chunks_with_context) or in BOTH
-    # r2 and r3 on unchanged code: rotated out this round
     "search_chunks_with_context": (
         ck.search_chunks_with_context,
         ck.SEARCH_CHUNKS_WITH_CONTEXT_SQL,
