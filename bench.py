@@ -178,6 +178,8 @@ def main() -> None:
         "funnel_conversion",
         "tfidf_keywords",
         "curate_training_sample",
+        "decontaminate_ngram_overlap",
+        "repetition_profile",
     ):
         # min of 2 runs: the first call of a plan shape pays Janino /
         # whole-stage-codegen compilation (measured up to +10s on the
