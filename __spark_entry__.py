@@ -22,12 +22,14 @@ from codegraph_rust_spark.functions import registry as _registry  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: hybrid 0.9·vector +
-    0.1·BM25 top-10 (reference: schema/codegraph.surql:452-478), with
-    the BM25 side answered THROUGH the compressed postings engine
-    (SPIMI build → Group-VarInt codec → doc-residue MaxScore)."""
-    from codegraph_rust_spark.functions.indexed import hybrid_index_topk
+    0.1·BM25 top-10 (reference: schema/codegraph.surql:452-478) with
+    BOTH legs through real indexes — BM25 THROUGH the compressed
+    postings engine (SPIMI build → Group-VarInt codec → doc-residue
+    MaxScore), cosine through the LSH-built NSW proximity graph (beam
+    search = index lookups, not a corpus scan)."""
+    from codegraph_rust_spark.functions.nsw import hybrid_nsw_topk
 
-    return hybrid_index_topk(spark, "/root/testdata/sf0.001")
+    return hybrid_nsw_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

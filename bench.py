@@ -80,10 +80,17 @@ def main() -> None:
     from codegraph_rust_spark.operators.topk import InvertedIndex
     from codegraph_rust_spark.plans.build import build_index
 
+    from codegraph_rust_spark.telemetry import SectionTimer
+
     corpus = ensure_corpus()
     spark = get_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
+    # every timed section records wall + host steal% + loadavg so a
+    # slow number is attributable (neighbor CPU theft vs regression) —
+    # round 4's uniform ~1.4x inflation on unchanged code was
+    # unprovable either way without this
+    st = SectionTimer()
+    timings = st.walls
 
     # ---- index build
     index_dir = os.path.join(REPO, ".data", f"bench_index_{N_DOCS}_{CPUS}")
@@ -94,34 +101,37 @@ def main() -> None:
         max_salts=16,
     )
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-    t0 = time.time()
-    metrics = build_index(spark, pages, index_dir, cfg, resume=False)
-    timings["index_build"] = round(time.time() - t0, 3)
+    with st.section("index_build"):
+        metrics = build_index(spark, pages, index_dir, cfg, resume=False)
 
     # ---- BM25 queries
     idx = InvertedIndex(spark, index_dir, cfg)
     queries = load_queries(os.path.join(corpus, "queries.tsv"))
 
-    t0 = time.time()
-    batch = idx.topk_batch(queries, k=10, mode="taat").collect()
-    timings["bm25_batch_taat"] = round(time.time() - t0, 3)
+    with st.section("bm25_batch_taat"):
+        batch = idx.topk_batch(queries, k=10, mode="taat").collect()
 
     # all queries in ONE MaxScore plan — the cluster-shape number: a
     # query SERVICE amortizes scheduling floors across a batch, so
     # per-query cost is batch_wall / |queries|, not the p50 below
-    t0 = time.time()
-    idx.topk_batch(queries, k=10, mode="maxscore").collect()
-    batch_ms_wall = time.time() - t0
-    timings["bm25_batch_maxscore"] = round(batch_ms_wall, 3)
+    with st.section("bm25_batch_maxscore"):
+        idx.topk_batch(queries, k=10, mode="maxscore").collect()
+    batch_ms_wall = timings["bm25_batch_maxscore"]
+
+    from codegraph_rust_spark.telemetry import sample as tele_sample, steal_pct
 
     lat = []
+    sweep0 = tele_sample()
     for qid, qtext in queries[:12]:
         t0 = time.time()
         idx.topk_batch([(qid, qtext)], k=10, mode="maxscore").collect()
         lat.append(time.time() - t0)
+    sweep_steal = steal_pct(sweep0, tele_sample())
     lat.sort()
     timings["bm25_p50_maxscore"] = round(lat[len(lat) // 2], 3)
     timings["bm25_p95_maxscore"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+    st.steal["bm25_p50_maxscore"] = sweep_steal
+    st.steal["bm25_p95_maxscore"] = sweep_steal
 
     # ---- registry operators at SF_DIR
     import __spark_entry__ as entry_mod
@@ -136,24 +146,72 @@ def main() -> None:
     from codegraph_rust_spark.functions import nsw as nsw_mod
 
     for kind in ("exact", "lsh"):
-        t0 = time.time()
-        nsw_mod.build_graph(spark, SF_DIR, kind)
-        timings[f"nsw_graph_build_{kind}"] = round(time.time() - t0, 3)
+        with st.section(f"nsw_graph_build_{kind}"):
+            nsw_mod.build_graph(spark, SF_DIR, kind)
 
     # vector query SERVICE throughput: 50 queries through the cached
     # LSH graph in ONE batched beam search (qid-keyed hop loop — the
-    # ANN twin of the BM25 topk_batch number)
+    # ANN twin of the BM25 topk_batch number).  FIXED key (requested
+    # batch size): the served count varies with the corpus and a
+    # corpus-dependent key broke round-over-round comparison.
     nsw_qids = list(range(0, 500, 10))
-    t0 = time.time()
-    nsw_res = nsw_mod.nsw_search_batch(spark, SF_DIR, nsw_qids, kind="lsh").collect()
-    nsw_wall = time.time() - t0
+    with st.section(f"nsw_batch_{len(nsw_qids)}q_requested"):
+        nsw_res = nsw_mod.nsw_search_batch(
+            spark, SF_DIR, nsw_qids, kind="lsh"
+        ).collect()
+    nsw_wall = timings[f"nsw_batch_{len(nsw_qids)}q_requested"]
     # honest denominator: qids actually present at this SF (isin drops
     # missing ones on custom corpora), not the requested batch size
     n_served = len({r["qid"] for r in nsw_res})
-    timings[f"nsw_batch_{n_served}q"] = round(nsw_wall, 3)
     extras_nsw = {
         "nsw_queries_per_sec": round(n_served / nsw_wall, 2) if n_served else 0.0,
+        "nsw_batch_n_served": n_served,
         "nsw_batch_results": len(nsw_res),
+    }
+
+    # repeat-query latency through the service-layer LRU+TTL result
+    # cache (the reference daemon's 5-min memoization,
+    # graph_tool_executor.rs:299-322): first cached call pays compute,
+    # the timed repeat must be ~0 (no Spark jobs)
+    nsw_mod.nsw_search_batch_cached(spark, SF_DIR, nsw_qids, kind="lsh")
+    with st.section("nsw_batch_repeat_cached"):
+        nsw_mod.nsw_search_batch_cached(spark, SF_DIR, nsw_qids, kind="lsh")
+
+    # ---- incremental update: 1% of docs modified, spliced in place —
+    # the reference's headline is INCREMENTAL indexing speed
+    # (indexer.rs:4117-4262); full rebuilds are the fallback, not the
+    # product.  Touches only the changed docs' term buckets.
+    from pyspark.sql import functions as _F
+
+    from codegraph_rust_spark.streaming.incremental import incremental_update
+
+    # deterministic ~1% of urls get new content; the html column is
+    # what change detection hashes AND what the build extracts from,
+    # so the appended paragraph flows through the whole splice path
+    changed = _F.pmod(_F.xxhash64("url"), _F.lit(100)) == 0
+    pages_v2 = pages.withColumn(
+        "html",
+        _F.when(
+            changed,
+            _F.concat(_F.col("html"), _F.lit(b"<p>incrementalbenchmarker</p>")),
+        ).otherwise(_F.col("html")),
+    )
+    with st.section("incremental_update_1pct"):
+        inc_metrics = incremental_update(spark, pages_v2, index_dir, cfg)
+    n_changed = (inc_metrics.get("changes") or {}).get("modified", 0)
+    extras_inc = {
+        "incremental_changed_docs": n_changed,
+        "incremental_docs_per_sec": round(
+            n_changed / max(1e-9, timings["incremental_update_1pct"]), 1
+        ),
+        "incremental_touched_buckets": len(
+            inc_metrics.get("touched_tbuckets") or []
+        ),
+        "incremental_vs_full_build_ratio": round(
+            timings["incremental_update_1pct"]
+            / max(1e-9, timings["index_build"]),
+            3,
+        ),
     }
     for name in (
         "q1_pricing_summary",
@@ -185,13 +243,18 @@ def main() -> None:
         # whole-stage-codegen compilation (measured up to +10s on the
         # 64-aggregate simhash plan) — the same per-session floor the
         # build protocol's cold/warm split documents.  min-of-2 is the
-        # scaling protocol's noise filter applied per operator.
-        walls = []
+        # scaling protocol's noise filter applied per operator; the
+        # recorded steal% belongs to the run that produced the min.
+        walls, steals = [], []
         for _ in range(2):
+            s0 = tele_sample()
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             walls.append(time.time() - t0)
-        timings[name] = round(min(walls), 3)
+            steals.append(steal_pct(s0, tele_sample()))
+        best = min(range(2), key=lambda i: walls[i])
+        timings[name] = round(walls[best], 3)
+        st.steal[name] = steals[best]
 
     # surface the stored north-rule scaling number (BENCH.md is written
     # by scripts/scaling_bench.py --md, the official two-level protocol).
@@ -226,7 +289,14 @@ def main() -> None:
         "bm25_results": len(batch),
         "maxscore_queries_per_sec": round(len(queries) / batch_ms_wall, 2),
         **extras_nsw,
+        **extras_inc,
         "op_timing": "min_of_2_runs",
+        # host-noise attribution: per-section hypervisor steal% and the
+        # loadavg at section end — a slow wall with high steal is
+        # neighbor contention, not an engine regression (and vice
+        # versa); see codegraph_rust_spark/telemetry.py
+        "steal_pct": st.steal,
+        "host": st.summary(),
         "scaling_efficiency_n_to_4n_stored": scaling_eff,
         "scaling_efficiency_source": scaling_src,
     }

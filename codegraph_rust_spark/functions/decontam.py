@@ -30,31 +30,43 @@ DECONTAM_EVAL_MAX_ID = 10
 DECONTAM_THRESHOLD = 0.2
 
 
-def _ngrams(col: str = "a") -> F.Column:
+def _ngrams(col: str = "a", n: int = DECONTAM_N) -> F.Column:
     # i ∈ [0, size-N] → size-N+1 n-grams (0-based Spark arrays)
-    parts = ", ".join(f"{col}[i+{j}]" for j in range(DECONTAM_N))
+    parts = ", ".join(f"{col}[i+{j}]" for j in range(n))
     return F.expr(
-        f"transform(sequence(0, size({col}) - {DECONTAM_N}), "
+        f"transform(sequence(0, size({col}) - {n}), "
         f"i -> concat_ws(' ', {parts}))"
     )
 
 
-def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, eval_id, shared_ngrams, eval_ngrams, overlap_frac) for
-    every training doc that contains ≥ DECONTAM_THRESHOLD of an eval
-    doc's distinct word-{DECONTAM_N}-grams — the GPT-3-style benchmark
-    decontamination join.  Eval side (≤ a benchmark's worth of
-    n-grams) broadcasts; the corpus side is one scan."""
-    d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
-    grams = (
-        d.filter(F.size("a") >= DECONTAM_N)
-        .select("doc_id", F.explode(_ngrams()).alias("ng"))
-        .distinct()
-    )
-    ev = grams.filter(F.col("doc_id") < DECONTAM_EVAL_MAX_ID).select(
-        F.col("doc_id").alias("eval_id"), "ng"
-    )
-    tr = grams.filter(F.col("doc_id") >= DECONTAM_EVAL_MAX_ID)
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECONTAM_N,
+    threshold: float = DECONTAM_THRESHOLD,
+) -> DataFrame:
+    """The PRODUCTION decontamination operator: flag every training
+    doc containing ≥ ``threshold`` of an eval doc's distinct
+    word-``n``-grams (GPT-3 §C runs this with n=13 over the full web
+    corpus against each benchmark).
+
+    ``train_docs`` needs (doc_id, text); ``eval_docs`` needs
+    (eval_id, text) — ANY benchmark table, not a carve-out of the
+    corpus.  Scale shape: the eval set is small by definition, so its
+    distinct n-gram set broadcasts; the training side is ONE scan +
+    one hash aggregation — no self-join, no Python.  Returns
+    (doc_id, eval_id, shared_ngrams, eval_ngrams, overlap_frac)."""
+
+    def grams(df: DataFrame, id_col: str) -> DataFrame:
+        toks = df.select(id_col, _TOKS().alias("a"))
+        return (
+            toks.filter(F.size("a") >= n)
+            .select(id_col, F.explode(_ngrams(n=n)).alias("ng"))
+            .distinct()
+        )
+
+    ev = grams(eval_docs, "eval_id")
+    tr = grams(train_docs, "doc_id")
     ev_tot = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
     overlap = (
         tr.join(F.broadcast(ev), "ng")
@@ -67,9 +79,27 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_frac",
             F.round(F.col("shared_ngrams") / F.col("eval_ngrams"), 6),
         )
-        .filter(F.col("overlap_frac") >= DECONTAM_THRESHOLD)
+        .filter(F.col("overlap_frac") >= threshold)
         .select("doc_id", "eval_id", "shared_ngrams", "eval_ngrams", "overlap_frac")
     )
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``decontaminate`` with the deterministic test
+    split (doc_id < DECONTAM_EVAL_MAX_ID plays the held-out benchmark
+    — the fixture dir carries no separate eval table, and the oracle
+    must see the same data).  Production callers pass a real eval
+    TABLE to ``decontaminate`` directly; the planted-contamination
+    recall test (tests/test_decontam.py) exercises that path with
+    n=13."""
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < DECONTAM_EVAL_MAX_ID).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    tr = docs.filter(F.col("doc_id") >= DECONTAM_EVAL_MAX_ID).select(
+        "doc_id", "text"
+    )
+    return decontaminate(tr, ev, n=DECONTAM_N, threshold=DECONTAM_THRESHOLD)
 
 
 def _ngrams_sql() -> str:

@@ -40,6 +40,8 @@ k-means replay) matches bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -51,6 +53,15 @@ NSW_EF = 16    # beam width (reference EFC 150; scaled to the test SF)
 NSW_SEEDS = 8  # deterministic entry points
 NSW_HOPS = 4   # beam-search rounds (enough to cross the tiny graph)
 NSW_K = 5
+
+# hard cap on the exact (ground-truth) builder's driver-side collect —
+# far above any test SF, far below anything that should ever reach the
+# GEMM twin instead of the LSH scale path
+NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "200000"))
+
+# applicationId → broadcasts created by _nsw_edges (destroyed when a
+# later build sees the application is gone — see _nsw_edges docstring)
+_EXACT_BCASTS: dict[str, list] = {}
 
 _COS = (
     "round((aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
@@ -80,12 +91,32 @@ def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
     Spark's F.round and DuckDB's round.  numpy's np.round is
     half-to-EVEN, which disagrees on exact 7-decimal halves (e.g.
     1/128 → 0.007812 vs 0.007813) and would break the cross-engine
-    edge-identity contract.  The scaled-floor formulation shares
-    DuckDB's float-scaling class (Spark expands the exact BigDecimal);
-    the residual disagreement window (~1e-10 around half boundaries)
-    is the same one the 67 already-green Spark↔DuckDB oracles live
-    with."""
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    edge-identity contract.
+
+    Fast path: scaled floor(|x|·1e6 + 0.5).  That float path can
+    disagree with Spark's exact-decimal F.round in a ~1e-10 window
+    around 7-decimal halves, so any value landing NEAR a half
+    boundary (±1e-4 guard band — generous, still rare) is re-rounded
+    through Decimal(repr(x)) HALF_UP, which IS F.round's arithmetic:
+    Spark rounds doubles via BigDecimal.valueOf(d) =
+    BigDecimal(Double.toString(d)), and Double.toString / Python repr
+    are both shortest-round-trip decimal forms of the same bits.
+    Result: the GEMM builder cannot flip an edge ranking vs the SQL
+    fold at a half boundary."""
+    y = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    frac = np.abs(x) * 1e6
+    near_half = np.abs(frac - np.floor(frac) - 0.5) < 1e-4
+    if near_half.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_y = y.reshape(-1)
+        flat_x = np.ascontiguousarray(x, dtype=np.float64).reshape(-1)
+        for i in np.nonzero(near_half.reshape(-1))[0]:
+            flat_y[i] = float(
+                Decimal(repr(flat_x[i])).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return y
 
 
 def _nsw_edges(e: DataFrame) -> DataFrame:
@@ -107,11 +138,30 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
     Spark's sequential aggregate() fold bit-for-bit after rounding.
     The driver-side collect is bounded by the ground-truth role
     (ids×dim matrix, ≤ a few MB at test SFs); above that the LSH
-    builder IS the path, or block the right-hand side too.  The
-    collect and the broadcast happen at CONSTRUCTION time, and the
-    broadcast lives until the session ends (it must outlive the lazy
-    frame; MB-scale at ground-truth sizes — acceptable, documented)."""
+    builder IS the path — enforced by a LOUD row-count guard
+    (NSW_EXACT_MAX_ROWS) rather than an OOM.  The collect and the
+    broadcast happen at CONSTRUCTION time and the broadcast must
+    outlive the lazy frame, so it lives for the session — but each
+    build registers its broadcast per-application and builds for DEAD
+    applications are destroyed on the next construction (the leak the
+    round-4 advice flagged for repeated uncached builds)."""
     spark = e.sparkSession
+    app = spark.sparkContext.applicationId
+    for stale in [a for a in _EXACT_BCASTS if a != app]:
+        for old in _EXACT_BCASTS.pop(stale):
+            try:
+                old.destroy()
+            except Exception:
+                pass  # session already gone — blocks are freed anyway
+    n = e.count()
+    if n > NSW_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"exact NSW graph build collects the corpus to the driver: "
+            f"{n} rows > NSW_EXACT_MAX_ROWS={NSW_EXACT_MAX_ROWS}. "
+            "This builder is the ground-truth twin for test scales; "
+            "use the LSH + NN-descent builder (_nsw_edges_lsh / "
+            "kind='lsh') at corpus scale."
+        )
     rows = e.select("vec_id", "embedding").collect()
     if not rows:
         return spark.createDataFrame([], "src long, dst long")
@@ -121,6 +171,7 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
     ids, mat = ids[order], mat[order]
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, unit))
+    _EXACT_BCASTS.setdefault(app, []).append(bc)
 
     def run(batches):
         import pyarrow as pa
@@ -244,11 +295,12 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
     return top_m(score_pairs(cand2))
 
 
-def _beam_search(
+def _beam_visited(
     e: DataFrame, edges: DataFrame, cp, q_vec_id: int = 0
 ) -> DataFrame:
-    """Deterministic-seed beam search over an (src, dst) proximity
-    graph — shared by the exact-graph and LSH+NN-descent entries.
+    """Visited set (vec_id, cosine) of a deterministic-seed beam
+    search over an (src, dst) proximity graph — shared by the
+    exact-graph, LSH+NN-descent, and hybrid-fusion entries.
 
     Per-hop plan: broadcast the ≤NSW_EF-row beam into the edges table
     (lookup join), score only the newly reached dst nodes, re-rank the
@@ -292,6 +344,15 @@ def _beam_search(
             .agg(F.max("cosine").alias("cosine"))
         )
         beam = visited.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(NSW_EF)
+    return visited
+
+
+def _beam_search(
+    e: DataFrame, edges: DataFrame, cp, q_vec_id: int = 0
+) -> DataFrame:
+    """Top-NSW_K (vec_id, cosine, rank) of the beam-search visited set
+    — see ``_beam_visited`` for the per-hop plan."""
+    visited = _beam_visited(e, edges, cp, q_vec_id)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         visited.orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -510,6 +571,35 @@ def nsw_search_batch(
     )
 
 
+def nsw_search_batch_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    qids: list[int],
+    kind: str = "lsh",
+    k: int = NSW_K,
+) -> list:
+    """The daemon-shaped entry point: ``nsw_search_batch`` behind the
+    process-wide query-result LRU+TTL cache (qcache.py — reference
+    graph_tool_executor.rs:299-322).  A repeated (snapshot, queries,
+    k) within the TTL returns the collected rows with ZERO Spark jobs.
+    Snapshot token = (applicationId, sf_dir, kind): the graph cache is
+    immutable per session, so any rebuild implies a new application or
+    an explicit invalidate."""
+    from .qcache import SERVICE_CACHE
+
+    key = (
+        "nsw_search_batch",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        kind,
+        tuple(qids),
+        k,
+    )
+    return SERVICE_CACHE.get_or_compute(
+        key, lambda: nsw_search_batch(spark, sf_dir, qids, kind=kind, k=k).collect()
+    )
+
+
 # ---------------------------------------------------- incremental insert
 
 
@@ -716,10 +806,13 @@ s1 AS ({score.format(cand="cand2")}),
 edges AS ({_TOP_M_SQL.format(scored="s1", m=NSW_M)}),"""
 
 
-def _nsw_sql(graph_ctes: str) -> str:
+def _nsw_cte_pieces(graph_ctes: str) -> list[str]:
     """The beam-search loop unrolled as NSW_HOPS CTE rounds (the same
     deterministic-replay trick as ANN_IVF_TRAINED_SQL), over whichever
-    graph build ``graph_ctes`` defines as ``edges``."""
+    graph build ``graph_ctes`` defines as ``edges``.  Returns the CTE
+    list (final visited set = ``v{NSW_HOPS}``) so callers can append
+    their own final SELECT — the plain top-k entry and the hybrid
+    fusion entry share these pieces."""
     cos = (
         "round(list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
         " / (sqrt(list_dot_product(cast({a} AS double[]), cast({a} AS double[])))"
@@ -761,11 +854,15 @@ v{i + 1} AS (
 b{i + 1} AS (
   SELECT vec_id FROM v{i + 1} ORDER BY cosine DESC, vec_id LIMIT {NSW_EF}
 )""")
+    return pieces
+
+
+def _nsw_sql(graph_ctes: str) -> str:
     final = f"""
 SELECT vec_id, cosine,
        cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
 FROM v{NSW_HOPS} ORDER BY cosine DESC, vec_id LIMIT {NSW_K}"""
-    return "WITH " + ",".join(pieces) + final
+    return "WITH " + ",".join(_nsw_cte_pieces(graph_ctes)) + final
 
 
 ANN_NSW_BEAM_SQL = _nsw_sql(_EXACT_GRAPH_CTES)
@@ -852,3 +949,304 @@ ORDER BY qid, rank"""
 
 
 ANN_NSW_BATCH_SQL = _nsw_batch_sql(_lsh_graph_ctes())
+
+
+# ------------------------------------------------ layered HNSW descent
+
+# The reference index is MULTI-LAYER HNSW (schema/codegraph.surql:
+# 815-823, 934-942: SurrealDB assigns each vector a geometric level and
+# answers queries by descending from a single top-layer entry point, so
+# hop count stays O(log n) from one seed).  The flat NSW above needs
+# its hop budget to grow with graph diameter; this is the layered
+# analog:
+#
+# * **levels** — deterministic geometric assignment from the LAST hex
+#   char of md5(vec_id): '0' → level 2 (p = 1/16), '1'-'3' → level 1
+#   (p(≥1) = 1/4), else level 0.  Same Carter-Wegman-style md5
+#   derivation as the seeds — no RNG state, identical in Spark and
+#   DuckDB (both md5() lowercase-hex the decimal string; substr is
+#   1-based in both).
+# * **graphs** — layer l's proximity graph is the exact M-NN graph
+#   over the vectors with level ≥ l (layer 0 = the full exact graph,
+#   shared with ann_nsw_beam via the session cache; upper layers are
+#   1/4 and 1/16 of the corpus, so their builds are marginal).
+# * **search** — ONE entry point (smallest md5 among top-layer
+#   nodes), then per layer a FIXED number of beam hops with a narrow
+#   upper-layer beam, carrying the visited set down; the base layer
+#   runs HNSW_HOPS_L0 wide-beam hops.  Total scoring rounds:
+#   1 + 1 + HNSW_HOPS_L0 — FEWER sequential Spark jobs than the flat
+#   path's NSW_HOPS=4 when HNSW_HOPS_L0 < 2, and per-layer hop count
+#   stays CONSTANT as n grows (layer count is the log term), where the
+#   flat graph's hop budget must track its diameter.
+#
+# Scored-candidate budget is ≤ the flat path's (1 seed + 2 narrow
+# upper hops + HNSW_HOPS_L0 wide hops vs 8 seeds + 4 wide hops); the
+# recall gate in tests/test_ann_recall.py holds it to ≥ ann_nsw_beam's
+# at that smaller budget.
+
+HNSW_MAX_LEVEL = 2
+HNSW_EF_UPPER = 8    # beam width while descending upper layers
+HNSW_HOPS_UPPER = 1  # hops per upper layer (layer diameter is ~const)
+HNSW_HOPS_L0 = 2     # wide-beam hops at the base layer
+
+# level-l chars of md5[-1]: lvl 2 ⇔ '0'; lvl ≥ 1 ⇔ '0'..'3'
+_HNSW_L2_CHARS = ("0",)
+_HNSW_L1_CHARS = ("0", "1", "2", "3")
+
+
+def _lvl_char(col: str = "vec_id") -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 32, 1)
+
+
+def _hnsw_layer_members(e: DataFrame, level: int) -> DataFrame:
+    chars = _HNSW_L2_CHARS if level >= 2 else _HNSW_L1_CHARS
+    return e.filter(_lvl_char().isin(*chars))
+
+
+def build_hnsw_graphs(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """Force-build (and session-cache) all HNSW layer graphs; returns
+    {level: edge_count}.  Layer 0 shares the ``exact`` cache entry
+    with ann_nsw_beam — building one warms the other."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    counts = {}
+    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
+        members = _hnsw_layer_members(e, lvl)
+        counts[lvl] = _cached_graph(
+            spark, sf_dir, f"hnsw_l{lvl}", lambda m=members: _nsw_edges(m)
+        ).count()
+    counts[0] = _cached_graph(
+        spark, sf_dir, "exact", lambda: _nsw_edges(e)
+    ).count()
+    return counts
+
+
+def ann_hnsw_layered(
+    spark: SparkSession, sf_dir: str, _truncate: bool = True
+) -> DataFrame:
+    """Layered-HNSW top-k against the vec_id=0 query: single-seed
+    top-layer entry, greedy narrow-beam descent, wide-beam base-layer
+    finish — (vec_id, cosine, rank), same contract as ann_nsw_beam."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if _truncate else df
+
+    def graph(name: str, build) -> DataFrame:
+        return _cached_graph(spark, sf_dir, name, build) if _truncate else build()
+
+    layers = []  # top → bottom: (edges, hops, beam_ef)
+    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
+        members = _hnsw_layer_members(e, lvl)
+        layers.append((
+            graph(f"hnsw_l{lvl}", lambda m=members: _nsw_edges(m)),
+            HNSW_HOPS_UPPER,
+            HNSW_EF_UPPER,
+        ))
+    layers.append((
+        graph("exact", lambda: _nsw_edges(e)),
+        HNSW_HOPS_L0,
+        NSW_EF,
+    ))
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+    def score(df: DataFrame) -> DataFrame:
+        return (
+            df.join(e, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.expr(_COS.format(a="embedding", b="q_emb")).alias("cosine"),
+            )
+        )
+
+    entry = (
+        _hnsw_layer_members(e, HNSW_MAX_LEVEL)
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select("vec_id")
+    )
+    visited = score(entry)
+    for edges, hops, ef in layers:
+        beam = visited.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(ef)
+        for _ in range(hops):
+            reached = (
+                edges.join(
+                    F.broadcast(beam.select(F.col("vec_id").alias("src"))),
+                    "src",
+                )
+                .select(F.col("dst").alias("vec_id"))
+                .distinct()
+            )
+            visited = cp(
+                visited.unionByName(score(reached))
+                .groupBy("vec_id")
+                .agg(F.max("cosine").alias("cosine"))
+            )
+            beam = visited.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(ef)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        visited.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(NSW_K)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _hnsw_sql() -> str:
+    """The layered descent unrolled as CTEs: levels, the three layer
+    graphs (top-M windows over the lvl-filtered exact pair join), the
+    single-seed entry, then one hop block per (layer, hop) with that
+    layer's beam width — stage-for-stage the Spark plan above."""
+    cos = (
+        "round(list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
+        " / (sqrt(list_dot_product(cast({a} AS double[]), cast({a} AS double[])))"
+        " * sqrt(list_dot_product(cast({b} AS double[]), cast({b} AS double[])))), 6)"
+    )
+    l2 = ", ".join(f"'{c}'" for c in _HNSW_L2_CHARS)
+    l1 = ", ".join(f"'{c}'" for c in _HNSW_L1_CHARS)
+    pieces = [
+        f"""
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+en AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(cast(embedding AS double[]),
+                               cast(embedding AS double[]))) AS nrm,
+         CASE WHEN substr(md5(cast(vec_id AS varchar)), 32, 1) IN ({l2}) THEN 2
+              WHEN substr(md5(cast(vec_id AS varchar)), 32, 1) IN ({l1}) THEN 1
+              ELSE 0 END AS lvl
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.lvl AS slvl, b.lvl AS dlvl,
+         round(list_dot_product(cast(a.embedding AS double[]),
+                                cast(b.embedding AS double[]))
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
+),
+e2 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 2 AND dlvl >= 2)", m=NSW_M)}),
+e1 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 1 AND dlvl >= 1)", m=NSW_M)}),
+e0 AS ({_TOP_M_SQL.format(scored="pairs", m=NSW_M)}),
+seeds AS (
+  SELECT vec_id FROM en WHERE lvl >= 2
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 1
+),
+v0 AS (
+  SELECT s.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine
+  FROM seeds s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN q
+)"""
+    ]
+    plan = (
+        [("e2", HNSW_EF_UPPER)] * HNSW_HOPS_UPPER
+        + [("e1", HNSW_EF_UPPER)] * HNSW_HOPS_UPPER
+        + [("e0", NSW_EF)] * HNSW_HOPS_L0
+    )
+    i = 0
+    for graph, ef in plan:
+        pieces.append(f"""
+b{i} AS (SELECT vec_id FROM v{i} ORDER BY cosine DESC, vec_id LIMIT {ef}),
+r{i + 1} AS (
+  SELECT DISTINCT g.dst AS vec_id FROM b{i} JOIN {graph} g ON g.src = b{i}.vec_id
+),
+n{i + 1} AS (
+  SELECT r.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine
+  FROM r{i + 1} r JOIN embeddings e ON e.vec_id = r.vec_id CROSS JOIN q
+),
+v{i + 1} AS (
+  SELECT vec_id, max(cosine) AS cosine
+  FROM (SELECT * FROM v{i} UNION ALL SELECT * FROM n{i + 1})
+  GROUP BY vec_id
+)""")
+        i += 1
+    final = f"""
+SELECT vec_id, cosine,
+       cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
+FROM v{i} ORDER BY cosine DESC, vec_id LIMIT {NSW_K}"""
+    return "WITH " + ",".join(pieces) + final
+
+
+ANN_HNSW_LAYERED_SQL = _hnsw_sql()
+
+
+# ------------------------------------------------ hybrid via the NSW index
+
+def hybrid_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid 0.9·vector + 0.1·text fusion with BOTH legs through real
+    indexes: the text leg through the compressed postings engine
+    (``indexed.bm25_index_topk`` — Group-VarInt decode + MaxScore) and
+    the vector leg through the session-cached LSH-built NSW graph (the
+    10^12-vector path) instead of ``knn_bruteforce``'s full corpus
+    scan — the fix for the one full-scan leg the round-4 audit flagged
+    in hybrid_index_topk.  Fusion contract identical to
+    hybrid_score_topk (schema/codegraph.surql:452-478, weights :471).
+
+    Vector candidates = the beam search's visited set (≈ EF·M nodes),
+    so missing text-side docs score vector=0 exactly as the reference
+    treats docs outside the ANN result."""
+    from .indexed import bm25_index_topk
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = _cached_graph(
+        spark, sf_dir, "lsh", lambda: _GRAPH_BUILDERS["lsh"](e)
+    )
+    visited = _beam_visited(
+        e, edges, lambda df: df.localCheckpoint(eager=False)
+    )
+    vec = (
+        visited.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cosine").alias("vector_score"),
+        )
+    )
+    text = bm25_index_topk(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("text_score")
+    )
+    combined = vec.join(text, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            0.9 * F.coalesce("vector_score", F.lit(0.0))
+            + 0.1 * F.coalesce("text_score", F.lit(0.0)),
+            6,
+        ).alias("combined_score"),
+    )
+    w = Window.orderBy(F.desc("combined_score"), F.asc("doc_id"))
+    return (
+        combined.orderBy(F.desc("combined_score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _hybrid_nsw_sql() -> str:
+    """NSW-visited-set vector leg + exhaustive-BM25 text leg, fused
+    with the 0.9/0.1 contract — the oracle replays the LSH graph
+    build, the hop loop, and the BM25 scoring in one statement."""
+    from .textops import BM25_TOPK_SQL
+
+    pieces = _nsw_cte_pieces(_lsh_graph_ctes())
+    return (
+        "WITH "
+        + ",".join(pieces)
+        + f""",
+vec_hits AS (
+  SELECT vec_id AS doc_id, cosine AS vector_score
+  FROM v{NSW_HOPS} ORDER BY cosine DESC, vec_id LIMIT 10
+),
+text_hits AS (
+  SELECT doc_id, score AS text_score FROM ({BM25_TOPK_SQL})
+),
+combined AS (
+  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+         round(0.9 * coalesce(v.vector_score, 0.0)
+               + 0.1 * coalesce(t.text_score, 0.0), 6) AS combined_score
+  FROM vec_hits v FULL OUTER JOIN text_hits t ON v.doc_id = t.doc_id
+)
+SELECT doc_id, combined_score,
+       cast(row_number() OVER (ORDER BY combined_score DESC, doc_id) AS int) AS rank
+FROM combined ORDER BY combined_score DESC, doc_id LIMIT 10"""
+    )
+
+
+HYBRID_NSW_TOPK_SQL = _hybrid_nsw_sql()

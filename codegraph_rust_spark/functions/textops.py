@@ -146,6 +146,18 @@ def _bm25_inputs(spark: SparkSession, sf_dir: str):
     if hit is None:
         from pyspark import StorageLevel
 
+        # evict entries pinned to dead sessions (same policy as
+        # _GRAPH_CACHE / _MAX_KEY_CACHE) and RELEASE their executor
+        # storage — without the unpersist, persisted tf/dl blocks
+        # accumulated across sf_dirs for the session's lifetime
+        for stale in [k for k in _BM25_INPUT_CACHE if k[0] != key[0]]:
+            tf_old, dl_old, *_ = _BM25_INPUT_CACHE.pop(stale)
+            for df in (tf_old, dl_old):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # dead session: blocks are already gone
+
         dl = _dl_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")

@@ -78,13 +78,20 @@ def main() -> None:
     # encode shuffle, partitioned parquet sink) whose Janino/codegen
     # compilation, shuffle/codec init, and Python-worker spawn make up
     # the per-session floor (measured 5-12s per distinct plan shape).
+    from codegraph_rust_spark.telemetry import sample as tele_sample, steal_pct
+
     build_walls = []
+    build_steal = []  # hypervisor steal% during each build — the
+    # contamination record the scaling protocol grades against (a
+    # noisy-neighbor burst inflates the wall; the steal% proves it)
     metrics = None
     for i in range(max(1, args.builds)):
         bdir = args.index_dir if i == args.builds - 1 else args.index_dir + f"_w{i}"
+        s0 = tele_sample()
         t0 = time.time()
         metrics = build_index(spark, pages, bdir, cfg, resume=False)
         build_walls.append(round(time.time() - t0, 3))
+        build_steal.append(steal_pct(s0, tele_sample()))
         if bdir != args.index_dir:
             shutil.rmtree(bdir, ignore_errors=True)
     build_s = build_walls[-1]
@@ -120,6 +127,8 @@ def main() -> None:
                 "cpus": args.cpus,
                 "build_s": round(build_s, 3),
                 "build_walls": build_walls,
+                "build_steal_pct": build_steal,
+                "load1": round(os.getloadavg()[0], 2),
                 "docs_per_sec": metrics["docs_per_sec"],
                 "postings_per_sec": metrics["postings_per_sec"],
                 "n_docs": metrics["n_docs"],

@@ -45,6 +45,10 @@ def run(fn, workers):
     return sum(walls)/len(walls)
 
 if __name__ == "__main__":
+    # the TEXTS global reaches workers via copy-on-write, which only
+    # holds under fork — pin it (spawn/forkserver defaults elsewhere
+    # would give workers TEXTS=None and crash tok())
+    mp.set_start_method("fork")
     lvls=(1,2,4,8,16)
     TEXTS = _load_texts()
     best={(k,w):1e9 for w in lvls for k in ("alu","mem","tok")}

@@ -60,3 +60,69 @@ def test_ann_variants_recall_vs_bruteforce(spark):
     # and every variant must at least contain the query vector itself
     for name, fn in [("multiprobe", ann_multiprobe), ("ivf", ann_ivf)]:
         assert 0 in _topk_ids(fn(spark, SF)), f"{name} lost the query vector"
+
+
+def test_hnsw_layered_recall_and_budget(spark):
+    """The layered-HNSW descent (reference: multi-layer HNSW,
+    schema/codegraph.surql:815-823) must match the flat exact-graph
+    NSW's recall while spending a strictly SMALLER scored-candidate
+    budget and FEWER wide base-layer hops — the asymptotic point of
+    the hierarchy (per-layer hop count constant; layer count carries
+    the log n)."""
+    from codegraph_rust_spark.functions import nsw
+    from codegraph_rust_spark.functions.textops import knn_bruteforce
+
+    exact5 = set(_topk_ids(knn_bruteforce(spark, SF))[:5])
+    flat = set(_topk_ids(nsw.ann_nsw_beam(spark, SF)))
+    layered = set(_topk_ids(nsw.ann_hnsw_layered(spark, SF)))
+
+    recall_flat = len(flat & exact5) / 5.0
+    recall_layered = len(layered & exact5) / 5.0
+    assert recall_layered >= recall_flat, (recall_layered, recall_flat)
+    assert recall_layered == 1.0, layered  # measured on this table
+
+    # scored-candidate budget (worst case): layered < flat
+    flat_budget = nsw.NSW_SEEDS + nsw.NSW_HOPS * nsw.NSW_EF * nsw.NSW_M
+    layered_budget = (
+        1
+        + 2 * nsw.HNSW_HOPS_UPPER * nsw.HNSW_EF_UPPER * nsw.NSW_M
+        + nsw.HNSW_HOPS_L0 * nsw.NSW_EF * nsw.NSW_M
+    )
+    assert layered_budget < flat_budget, (layered_budget, flat_budget)
+    # wide (full-graph) hops: the layered path runs HALF the flat
+    # path's, with the difference absorbed by constant-size upper hops
+    assert nsw.HNSW_HOPS_L0 < nsw.NSW_HOPS
+
+
+def test_hnsw_layer_graphs_are_nested_and_bounded(spark):
+    """Layer membership is the deterministic md5 rule; upper layers
+    must be strict geometric-ish subsets and every adjacency list must
+    respect the degree bound M."""
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.functions import nsw
+    from codegraph_rust_spark.functions.common import t
+
+    e = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    n1 = nsw._hnsw_layer_members(e, 1).count()
+    n2 = nsw._hnsw_layer_members(e, 2).count()
+    assert 0 < n2 < n1 < n
+    # p(level>=1)=1/4, p(level 2)=1/16 within loose deterministic bands
+    assert n / 8 <= n1 <= n / 2.5
+    assert n / 32 <= n2 <= n / 8
+
+    counts = nsw.build_hnsw_graphs(spark, SF)
+    assert set(counts) == {0, 1, 2}
+    for lvl in (1, 2):
+        edges = nsw._cached_graph(
+            spark, SF, f"hnsw_l{lvl}", lambda: None  # cached by build above
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        assert deg.agg(F.max("d")).collect()[0][0] <= nsw.NSW_M
+        # closed over the layer: every endpoint is a layer member
+        members = {r["vec_id"] for r in nsw._hnsw_layer_members(e, lvl).collect()}
+        bad = edges.filter(
+            ~F.col("src").isin(*members) | ~F.col("dst").isin(*members)
+        ).count()
+        assert bad == 0

@@ -134,3 +134,14 @@ def test_nsw_lsh_graph_build_has_no_quadratic_join(spark):
     p = _plan(_nsw_edges_lsh(e))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_hnsw_layered_hops_are_broadcast_lookups(spark):
+    """The layered descent must keep the flat path's hop plan at every
+    layer: the ≤EF-row beam broadcasts into that layer's edges table —
+    never a shuffle of adjacency lists, never a sort-merge join."""
+    from codegraph_rust_spark.functions.nsw import ann_hnsw_layered
+
+    p = _plan(ann_hnsw_layered(spark, SF, _truncate=False))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
