@@ -118,7 +118,12 @@ def main() -> None:
         idx.topk_batch(queries, k=10, mode="maxscore").collect()
     batch_ms_wall = timings["bm25_batch_maxscore"]
 
-    from codegraph_rust_spark.telemetry import sample as tele_sample, steal_pct
+    from codegraph_rust_spark.telemetry import (
+        alu_calibration as tele_alu,
+        cpu_mhz as tele_cpu_mhz,
+        sample as tele_sample,
+        steal_pct,
+    )
 
     lat = []
     sweep0 = tele_sample()
@@ -296,7 +301,14 @@ def main() -> None:
         # neighbor contention, not an engine regression (and vice
         # versa); see codegraph_rust_spark/telemetry.py
         "steal_pct": st.steal,
-        "host": st.summary(),
+        "host": {
+            **st.summary(),
+            # frequency + single-thread ALU token: a uniform wall
+            # inflation at ~0% steal is host slowdown (throttling /
+            # bandwidth contention) — these two prove or refute that
+            "cpu_mhz": tele_cpu_mhz(),
+            "alu_calibration_s": tele_alu(),
+        },
         "scaling_efficiency_n_to_4n_stored": scaling_eff,
         "scaling_efficiency_source": scaling_src,
     }

@@ -395,3 +395,130 @@ SELECT vec_id, proxy, cosine,
        cast(row_number() OVER (ORDER BY cosine DESC, vec_id) AS int) AS rank
 FROM refined ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
 """
+
+
+# --------------------------------------- pluggable cross-encoder hook
+#
+# The reference's reranker is a TRAIT (reranker.rs:8-16): candidates +
+# original ranks in, model-scored positions out, the model behind the
+# trait being a cross-encoder.  No such model ships in this container,
+# so the hook mirrors the embedding-provider registry: scorers resolve
+# BY NAME inside the worker (clients aren't picklable; names + dict
+# configs are), and the 'fixture' scorer replays RECORDED (query, doc)
+# scores — the test double that proves the plumbing carries arbitrary
+# model outputs end-to-end.
+
+_RERANK_FIXTURE_MEMO: dict = {}
+
+
+def _xenc_fixture(config: dict):
+    path = config["path"]
+
+    def score(query: str, texts: list) -> list:
+        import hashlib
+        import json
+
+        fix = _RERANK_FIXTURE_MEMO.get(path)
+        if fix is None:
+            with open(path) as f:
+                fix = json.load(f)
+            _RERANK_FIXTURE_MEMO[path] = fix
+        out = []
+        for text in texts:
+            key = hashlib.md5(
+                (query + "\x00" + (text or "")).encode("utf-8")
+            ).hexdigest()
+            if key not in fix:
+                raise KeyError(
+                    "cross-encoder fixture has no recorded score for a "
+                    "(query, doc) pair — fixtures must cover the candidates"
+                )
+            out.append(float(fix[key]))
+        return out
+
+    return score
+
+
+def _xenc_http(config: dict):
+    import os as _os
+
+    url = config.get("url") or _os.environ.get("RERANK_PROVIDER_URL")
+    if not url:
+        raise NotImplementedError(
+            "http cross-encoder needs an endpoint (config['url'] or "
+            "$RERANK_PROVIDER_URL); none ships in this container — use "
+            "the 'fixture' scorer to replay recorded scores in tests"
+        )
+    timeout = float(config.get("timeout_s", 30))
+
+    def score(query: str, texts: list) -> list:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"query": query, "texts": texts}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return [float(s) for s in json.loads(resp.read())["scores"]]
+
+    return score
+
+
+CROSS_ENCODERS = {"fixture": _xenc_fixture, "http": _xenc_http}
+
+
+def rerank_with_cross_encoder(
+    candidates: DataFrame,
+    query_text: str,
+    scorer: str = "fixture",
+    config: dict | None = None,
+    k: int = RERANK_K,
+) -> DataFrame:
+    """Model-scored reranking of a (doc_id, text, original_rank)
+    candidate frame: batches of candidate texts go through the named
+    cross-encoder scorer (constructed once per worker), scores come
+    back, positions are reassigned by (score DESC, doc_id ASC) — the
+    reranker.rs trait applied at :64-80, with the model pluggable.
+    Returns (doc_id, original_rank, reranked_position, rerank_score)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cfg = dict(config or {})
+    if scorer not in CROSS_ENCODERS:
+        raise KeyError(f"unknown cross-encoder {scorer!r}; have {sorted(CROSS_ENCODERS)}")
+    if scorer == "http":
+        _xenc_http(cfg)  # fail at plan time if unconfigured
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("original_rank", T.IntegerType()),
+            T.StructField("rerank_score", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        model = None
+        for pdf in batches:
+            if model is None:
+                model = CROSS_ENCODERS[scorer](cfg)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "original_rank": pdf["original_rank"].to_numpy(),
+                    "rerank_score": model(query_text, pdf["text"].tolist()),
+                }
+            )
+
+    scored = candidates.select("doc_id", "original_rank", "text").mapInPandas(
+        run, schema=schema
+    )
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("reranked_position", F.row_number().over(w))
+        .filter(F.col("reranked_position") <= k)
+        .select("doc_id", "original_rank", "reranked_position", "rerank_score")
+    )

@@ -58,6 +58,36 @@ def sample() -> dict:
     }
 
 
+def cpu_mhz() -> float | None:
+    """Mean reported core clock — catches host frequency throttling,
+    which steal% cannot see."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            mhz = [
+                float(line.split(":")[1])
+                for line in f
+                if line.startswith("cpu MHz")
+            ]
+        return round(sum(mhz) / len(mhz), 0) if mhz else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def alu_calibration(n: int = 3_000_000) -> float:
+    """Single-thread ALU token: wall seconds for a fixed integer loop
+    (~0.1 s on a healthy core).  Run at bench start/end, it converts
+    'walls are uniformly 1.4x up at 1% steal' from a mystery into a
+    measured host-slowdown factor — steal measures CPU theft,
+    cpu_mhz measures clocks, this measures what a Python-side kernel
+    actually gets.  Compare across runs, not against an absolute."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    dt = time.perf_counter() - t0
+    return round(dt, 4)
+
+
 def steal_pct(before: dict, after: dict) -> float | None:
     """% of elapsed CPU ticks stolen by the hypervisor between two
     samples; None when /proc/stat is unreadable or no time passed."""

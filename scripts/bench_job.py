@@ -78,7 +78,12 @@ def main() -> None:
     # encode shuffle, partitioned parquet sink) whose Janino/codegen
     # compilation, shuffle/codec init, and Python-worker spawn make up
     # the per-session floor (measured 5-12s per distinct plan shape).
-    from codegraph_rust_spark.telemetry import sample as tele_sample, steal_pct
+    from codegraph_rust_spark.telemetry import (
+        alu_calibration,
+        cpu_mhz,
+        sample as tele_sample,
+        steal_pct,
+    )
 
     build_walls = []
     build_steal = []  # hypervisor steal% during each build — the
@@ -129,6 +134,8 @@ def main() -> None:
                 "build_walls": build_walls,
                 "build_steal_pct": build_steal,
                 "load1": round(os.getloadavg()[0], 2),
+                "cpu_mhz": cpu_mhz(),
+                "alu_calibration_s": alu_calibration(),
                 "docs_per_sec": metrics["docs_per_sec"],
                 "postings_per_sec": metrics["postings_per_sec"],
                 "n_docs": metrics["n_docs"],
