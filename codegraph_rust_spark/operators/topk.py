@@ -359,6 +359,48 @@ class InvertedIndex:
     def topk(self, query: str, k: int = 10, mode: str = "taat") -> DataFrame:
         return self.topk_batch([(0, query)], k=k, mode=mode).drop("qid")
 
+    def snapshot_token(self) -> float:
+        """mtime of the tokenized ledger's commit marker — rewritten by
+        every incremental swap (streaming/incremental._swap_ledger), so
+        memoized query results can never outlive a splice."""
+        import os
+
+        from ..plans.build import TOKENIZED
+
+        return os.path.getmtime(
+            os.path.join(self.cat.path(TOKENIZED), "_SUCCESS")
+        )
+
+    def topk_batch_cached(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "taat",
+        residues: str = "max",
+    ) -> list:
+        """``topk_batch`` behind the process-wide LRU+TTL result cache
+        (functions/qcache.py — the reference daemon's (project, tool,
+        params) memoization, graph_tool_executor.rs:299-322).  The key
+        carries the index snapshot token, so a repeat query within the
+        TTL returns collected rows with zero Spark jobs while any
+        incremental splice transparently misses."""
+        from ..functions.qcache import SERVICE_CACHE
+
+        key = (
+            "bm25_topk_batch",
+            self.spark.sparkContext.applicationId,
+            self.cat.root,
+            self.snapshot_token(),
+            tuple(queries),
+            k,
+            mode,
+            residues,
+        )
+        return SERVICE_CACHE.get_or_compute(
+            key,
+            lambda: self.topk_batch(queries, k=k, mode=mode, residues=residues).collect(),
+        )
+
     def with_urls(self, topk_df: DataFrame) -> DataFrame:
         """FK-deref of result doc_ids to urls (the reference's node
         lookup after candidate ranking).  The TOP-K side is broadcast —

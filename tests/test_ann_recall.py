@@ -126,3 +126,32 @@ def test_hnsw_layer_graphs_are_nested_and_bounded(spark):
             ~F.col("src").isin(*members) | ~F.col("dst").isin(*members)
         ).count()
         assert bad == 0
+
+
+def test_round6_half_up_matches_spark_decimal_semantics(spark):
+    """The GEMM builder's rounding must agree with Spark F.round on
+    adversarial 7-decimal half-boundary values — the exact window
+    where a float-scaled floor can disagree with Spark's BigDecimal
+    HALF_UP and flip an edge ranking (round-4 advice)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.functions.nsw import _round6_half_up
+
+    vals = [
+        1 / 128,            # 0.0078125 — exact binary half at 1e-7
+        -1 / 128,
+        3 / 256,            # 0.01171875
+        0.1234565,          # decimal half, not exactly representable
+        -0.9999995,
+        0.0000005,
+        7 / 64,             # 0.109375
+        0.3333335,
+        1.0, -1.0, 0.0,
+    ]
+    ours = _round6_half_up(np.array(vals, dtype=np.float64).reshape(1, -1)).ravel()
+    sdf = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r"))
+    theirs = [r["r"] for r in sdf.collect()]
+    assert list(ours) == theirs, list(zip(vals, ours, theirs))

@@ -69,3 +69,35 @@ def test_nsw_service_repeat_query_is_cached(spark):
     # and identical to the uncached path
     fresh = nsw.nsw_search_batch(spark, sf, qids, kind="lsh").collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, r1))
+
+
+def test_bm25_service_cache_hits_and_splice_invalidation(spark, tmp_path):
+    """The BM25 query service's memoization must (a) serve repeats
+    from cache and (b) MISS after an incremental splice rewrites the
+    ledger commit marker — stale results across an index update are
+    the one bug a result cache must never have."""
+    import os
+    import time as _time
+
+    from codegraph_rust_spark.functions.indexed import ensure_doc_index
+    from codegraph_rust_spark.functions.qcache import SERVICE_CACHE
+    from codegraph_rust_spark.operators.topk import InvertedIndex
+    from codegraph_rust_spark.plans.build import TOKENIZED
+
+    index_dir, cfg = ensure_doc_index(spark, "/root/testdata/sf0.001")
+    idx = InvertedIndex(spark, index_dir, cfg)
+    queries = [(0, "key agg"), (1, "row scan")]
+
+    r1 = idx.topk_batch_cached(queries, k=5)
+    h0, m0 = SERVICE_CACHE.hits, SERVICE_CACHE.misses
+    r2 = idx.topk_batch_cached(queries, k=5)
+    assert r2 is r1 and SERVICE_CACHE.hits == h0 + 1
+
+    # simulate a splice: the swap rewrites the ledger _SUCCESS marker
+    marker = os.path.join(idx.cat.path(TOKENIZED), "_SUCCESS")
+    future = _time.time() + 5
+    os.utime(marker, (future, future))
+    r3 = idx.topk_batch_cached(queries, k=5)
+    assert SERVICE_CACHE.misses == m0 + 1  # new snapshot ⇒ recompute
+    assert sorted(map(tuple, r3)) == sorted(map(tuple, r1))  # same data
+    os.utime(marker, None)  # restore
