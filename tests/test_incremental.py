@@ -135,3 +135,62 @@ def test_noop_update_early_returns(spark, v1_pages, tmp_path):
     m = incremental_update(spark, v1_pages, idx_dir, CFG)
     assert m["unchanged"] is True
     assert m["changes"].get("unchanged") == 999
+
+
+def test_splice_granularity_scales_with_term_buckets(spark, v1_pages, tmp_path):
+    """The splice unit is the term BUCKET, so term_buckets is the dial
+    that turns a single-doc update from 'rebuild almost everything'
+    (one doc's ~110 distinct stems cover ~all of 32 buckets) into a
+    bounded splice.  Sizing rule at corpus scale: term_buckets ≫ the
+    delta's distinct-term count (COVERAGE.md scale-dials).  Pinned
+    here at 512 buckets with a ONE-doc modification: the touched set
+    must be a strict minority and every untouched bucket directory
+    must pass through byte-identical."""
+    import hashlib
+
+    cfg = IndexConfig(
+        input_partitions=4, salt_df_threshold=200, max_salts=4,
+        term_buckets=512,
+    )
+    idx_dir = str(tmp_path / "fine")
+    build_index(spark, v1_pages, idx_dir, cfg, resume=False)
+
+    # v2 = v1 with exactly ONE doc's content replaced (delta vocabulary
+    # ≈ the old doc's ~110 stems + 5 new ones)
+    mod_url = "https://host21.example/p/21"
+    v2 = v1_pages.withColumn(
+        "html",
+        F.when(
+            F.col("url") == mod_url,
+            F.lit(b"<html><body><p>totally new modified content here</p></body></html>"),
+        ).otherwise(F.col("html")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("url") == mod_url, F.lit("totally new modified content here")
+        ).otherwise(F.col("text")),
+    )
+
+    def bucket_digests(root):
+        out = {}
+        post = os.path.join(root, "postings")
+        for d in os.listdir(post):
+            if not d.startswith("tbucket="):
+                continue
+            h = hashlib.md5()
+            for f in sorted(os.listdir(os.path.join(post, d))):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(post, d, f), "rb") as fh:
+                        h.update(fh.read())
+            out[d] = h.hexdigest()
+        return out
+
+    before = bucket_digests(idx_dir)
+    m = incremental_update(spark, v2, idx_dir, cfg)
+    touched = m["touched_tbuckets"]
+    assert 0 < len(touched) < 256, len(touched)  # strict minority of 512
+    after = bucket_digests(idx_dir)
+    untouched = set(before) - {f"tbucket={b}" for b in touched}
+    assert len(untouched) >= 256, len(untouched)
+    for d in untouched:
+        assert after[d] == before[d], f"{d} changed despite not being touched"
