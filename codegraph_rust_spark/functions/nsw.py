@@ -1031,22 +1031,13 @@ def ann_hnsw_layered(
     def cp(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if _truncate else df
 
-    def graph(name: str, build) -> DataFrame:
-        return _cached_graph(spark, sf_dir, name, build) if _truncate else build()
-
-    layers = []  # top → bottom: (edges, hops, beam_ef)
-    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
-        members = _hnsw_layer_members(e, lvl)
-        layers.append((
-            graph(f"hnsw_l{lvl}", lambda m=members: _nsw_edges(m)),
-            HNSW_HOPS_UPPER,
-            HNSW_EF_UPPER,
-        ))
-    layers.append((
-        graph("exact", lambda: _nsw_edges(e)),
-        HNSW_HOPS_L0,
-        NSW_EF,
-    ))
+    if _truncate:
+        layers = _hnsw_layer_plan(spark, sf_dir, e)
+    else:  # plan-quality tests: uncached, un-truncated lineage
+        layers = [
+            (_nsw_edges(_hnsw_layer_members(e, lvl)), HNSW_HOPS_UPPER, HNSW_EF_UPPER)
+            for lvl in range(HNSW_MAX_LEVEL, 0, -1)
+        ] + [(_nsw_edges(e), HNSW_HOPS_L0, NSW_EF)]
 
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
@@ -1166,6 +1157,182 @@ FROM v{i} ORDER BY cosine DESC, vec_id LIMIT {NSW_K}"""
 
 
 ANN_HNSW_LAYERED_SQL = _hnsw_sql()
+
+
+# --------------------------------------- batched layered-HNSW service
+
+def _hnsw_layer_plan(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> list[tuple[DataFrame, int, int]]:
+    """Top→bottom (edges, hops, beam_ef) plan over the session-cached
+    layer graphs — ONE definition shared by the single-query and
+    batched layered searches so their descent schedules can't drift."""
+    layers: list[tuple[DataFrame, int, int]] = []
+    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
+        members = _hnsw_layer_members(e, lvl)
+        layers.append((
+            _cached_graph(spark, sf_dir, f"hnsw_l{lvl}", lambda m=members: _nsw_edges(m)),
+            HNSW_HOPS_UPPER,
+            HNSW_EF_UPPER,
+        ))
+    layers.append((
+        _cached_graph(spark, sf_dir, "exact", lambda: _nsw_edges(e)),
+        HNSW_HOPS_L0,
+        NSW_EF,
+    ))
+    return layers
+
+
+def hnsw_search_batch(
+    spark: SparkSession, sf_dir: str, qids: list[int], k: int = NSW_K
+) -> DataFrame:
+    """Per-query top-k for a BATCH of query vectors through the
+    layered-HNSW index: ONE qid-keyed descent serves the whole batch
+    (per layer, per hop: one join of the |batch|·EF beam against that
+    layer's edges + one scoring join) — the layered twin of
+    ``nsw_search_batch``, completing the index family's service role.
+    Entry point is the SAME single top-layer node as the single-query
+    path, so per-qid results equal ``ann_hnsw_layered`` (test-pinned
+    for qid 0)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en = e.select(
+        "vec_id", "embedding", F.expr(_NRM.format(a="embedding")).alias("nrm")
+    )
+    q = en.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cp = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+
+    entry = (
+        _hnsw_layer_members(e, HNSW_MAX_LEVEL)
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select("vec_id")
+    )
+    visited = _score_q(
+        q.select("qid").crossJoin(F.broadcast(entry)), en, q
+    )
+    for edges, hops, ef in _hnsw_layer_plan(spark, sf_dir, e):
+        beam = _topn_q(visited, ef)
+        for _ in range(hops):
+            reached = (
+                edges.join(
+                    F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
+                    "src",
+                )
+                .select("qid", F.col("dst").alias("vec_id"))
+                .distinct()
+            )
+            visited = cp(
+                visited.unionByName(_score_q(reached, en, q))
+                .groupBy("qid", "vec_id")
+                .agg(F.max("cosine").alias("cosine"))
+            )
+            beam = _topn_q(visited, ef)
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        visited.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_hnsw_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the fixed NSW_BATCH_QIDS batch through the
+    layered-HNSW descent — one qid-keyed job for the whole batch,
+    oracled by the fully unrolled qid-keyed layered CTE replay."""
+    return hnsw_search_batch(spark, sf_dir, list(NSW_BATCH_QIDS))
+
+
+def _hnsw_batch_sql() -> str:
+    """``_hnsw_sql`` generalized with a qid column: levels + the three
+    layer graphs once, then per-(layer, hop) blocks PARTITIONed BY qid
+    with that layer's beam width."""
+    cos = (
+        "round(list_dot_product(cast({a} AS double[]), cast({b} AS double[]))"
+        " / (sqrt(list_dot_product(cast({a} AS double[]), cast({a} AS double[])))"
+        " * sqrt(list_dot_product(cast({b} AS double[]), cast({b} AS double[])))), 6)"
+    )
+    l2 = ", ".join(f"'{c}'" for c in _HNSW_L2_CHARS)
+    l1 = ", ".join(f"'{c}'" for c in _HNSW_L1_CHARS)
+    qids = ", ".join(str(x) for x in NSW_BATCH_QIDS)
+    top_ef = (
+        "SELECT qid, vec_id FROM ("
+        "  SELECT qid, vec_id, row_number() OVER"
+        "    (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn"
+        "  FROM {v}) WHERE rn <= {ef}"
+    )
+    pieces = [
+        f"""
+q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+      WHERE vec_id IN ({qids})),
+en AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(cast(embedding AS double[]),
+                               cast(embedding AS double[]))) AS nrm,
+         CASE WHEN substr(md5(cast(vec_id AS varchar)), 32, 1) IN ({l2}) THEN 2
+              WHEN substr(md5(cast(vec_id AS varchar)), 32, 1) IN ({l1}) THEN 1
+              ELSE 0 END AS lvl
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.lvl AS slvl, b.lvl AS dlvl,
+         round(list_dot_product(cast(a.embedding AS double[]),
+                                cast(b.embedding AS double[]))
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
+),
+e2 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 2 AND dlvl >= 2)", m=NSW_M)}),
+e1 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 1 AND dlvl >= 1)", m=NSW_M)}),
+e0 AS ({_TOP_M_SQL.format(scored="pairs", m=NSW_M)}),
+seeds AS (
+  SELECT vec_id FROM en WHERE lvl >= 2
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 1
+),
+v0 AS (
+  SELECT q.qid, s.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine
+  FROM seeds s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN q
+)"""
+    ]
+    plan = (
+        [("e2", HNSW_EF_UPPER)] * HNSW_HOPS_UPPER
+        + [("e1", HNSW_EF_UPPER)] * HNSW_HOPS_UPPER
+        + [("e0", NSW_EF)] * HNSW_HOPS_L0
+    )
+    i = 0
+    for graph, ef in plan:
+        pieces.append(f"""
+b{i} AS ({top_ef.format(v=f"v{i}", ef=ef)}),
+r{i + 1} AS (
+  SELECT DISTINCT b.qid, g.dst AS vec_id
+  FROM b{i} b JOIN {graph} g ON g.src = b.vec_id
+),
+n{i + 1} AS (
+  SELECT r.qid, r.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine
+  FROM r{i + 1} r JOIN embeddings e ON e.vec_id = r.vec_id
+  JOIN q ON q.qid = r.qid
+),
+v{i + 1} AS (
+  SELECT qid, vec_id, max(cosine) AS cosine
+  FROM (SELECT * FROM v{i} UNION ALL SELECT * FROM n{i + 1})
+  GROUP BY qid, vec_id
+)""")
+        i += 1
+    final = f"""
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         cast(row_number() OVER
+           (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM v{i})
+WHERE rank <= {NSW_K}
+ORDER BY qid, rank"""
+    return "WITH " + ",".join(pieces) + final
+
+
+ANN_HNSW_BATCH_SQL = _hnsw_batch_sql()
 
 
 # ------------------------------------------------ hybrid via the NSW index

@@ -64,6 +64,7 @@ REGISTRY: dict = {
     "term_postings": (tx.term_postings, tx.TERM_POSTINGS_SQL),
     # --- NEW in round 5: never driver-verified ------------------------
     "ann_hnsw_layered": (nsw.ann_hnsw_layered, nsw.ANN_HNSW_LAYERED_SQL),
+    "ann_hnsw_batch": (nsw.ann_hnsw_batch, nsw.ANN_HNSW_BATCH_SQL),
     "hybrid_nsw_topk": (nsw.hybrid_nsw_topk, nsw.HYBRID_NSW_TOPK_SQL),
     # --- code changed this round (nsw.py rounding-boundary guard +
     # collect cap; decontam.py parameterization): need fresh rows on
@@ -108,14 +109,16 @@ REGISTRY: dict = {
     "simhash_near_pairs": (da.simhash_near_pairs, da.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (da.embedding_near_dup, da.EMBEDDING_NEAR_DUP_SQL),
     "neardup_components": (da.neardup_components, da.NEARDUP_COMPONENTS_SQL),
+    # ================= driver window boundary (position 50) ==========
+    # Everything below is r4-driver-green on code UNCHANGED this round
+    # (registry-entry paths in chunking/ivf_kmeans/embedder/multimodal/
+    # rerank/relational/graph untouched — the r5 embedder/rerank
+    # additions are NEW provider-hook functions, pytest-gated, not
+    # these entries' code paths); due back in-window by r6.
     "neardup_cluster_sizes": (
         da.neardup_cluster_sizes,
         da.NEARDUP_CLUSTER_SIZES_SQL,
     ),
-    # ================= driver window boundary (position 50) ==========
-    # Everything below is r4-driver-green on code UNCHANGED this round
-    # (modules chunking/ivf_kmeans/embedder/multimodal/rerank/
-    # relational/graph untouched); due back in-window by r6.
     "search_docs_via_chunks": (
         ck.search_docs_via_chunks,
         ck.SEARCH_DOCS_VIA_CHUNKS_SQL,

@@ -155,3 +155,22 @@ def test_round6_half_up_matches_spark_decimal_semantics(spark):
     ).select(F.round("x", 6).alias("r"))
     theirs = [r["r"] for r in sdf.collect()]
     assert list(ours) == theirs, list(zip(vals, ours, theirs))
+
+
+def test_hnsw_batched_search_equals_single_query(spark):
+    """The batched layered descent must be per-qid IDENTICAL to the
+    single-query layered search (same entry point, same per-layer hop
+    schedule via the shared _hnsw_layer_plan) — the contract that lets
+    the service answer batches without changing results."""
+    from codegraph_rust_spark.functions import nsw
+
+    single = sorted(
+        (r["vec_id"], r["rank"], r["cosine"])
+        for r in nsw.ann_hnsw_layered(spark, SF).collect()
+    )
+    batched = sorted(
+        (r["vec_id"], r["rank"], r["cosine"])
+        for r in nsw.ann_hnsw_batch(spark, SF).collect()
+        if r["qid"] == 0
+    )
+    assert batched == single
