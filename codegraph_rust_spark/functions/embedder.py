@@ -248,10 +248,22 @@ def embed_documents_with_provider(
     — the exact lifecycle a pooled HTTP/ONNX client needs.  Output
     columns are double: real models emit floats."""
     cfg = dict(config or {})
-    cfg.setdefault("dim", dim)
+    if "dim" in cfg and int(cfg["dim"]) != dim:
+        # a silent mismatch would truncate or misshape every vector
+        raise ValueError(
+            f"conflicting dimensions: config['dim']={cfg['dim']} vs dim={dim}"
+        )
+    cfg["dim"] = dim
     if provider not in EMBED_PROVIDERS:
         raise KeyError(f"unknown embedding provider {provider!r}; have {sorted(EMBED_PROVIDERS)}")
     if provider == "http":
+        import os as _os
+
+        # resolve the endpoint NOW and pin it into the shipped config:
+        # executors don't inherit a driver-set env var, so a plan-time
+        # env resolution that isn't persisted would pass here and then
+        # fail per task on a real cluster
+        cfg["url"] = cfg.get("url") or _os.environ.get("EMBED_PROVIDER_URL")
         _provider_http(cfg)  # fail at plan time, not per task, if unconfigured
 
     schema = T.StructType(

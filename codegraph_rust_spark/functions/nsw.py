@@ -60,8 +60,11 @@ NSW_K = 5
 NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "200000"))
 
 # applicationId → broadcasts created by _nsw_edges (destroyed when a
-# later build sees the application is gone — see _nsw_edges docstring)
+# later build sees the application is gone; within a live app only the
+# newest _EXACT_BCASTS_KEEP stay executor-resident — older ones are
+# unpersisted and re-ship on demand — see _nsw_edges docstring)
 _EXACT_BCASTS: dict[str, list] = {}
+_EXACT_BCASTS_KEEP = 8
 
 _COS = (
     "round((aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
@@ -97,12 +100,14 @@ def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
     disagree with Spark's exact-decimal F.round in a ~1e-10 window
     around 7-decimal halves, so any value landing NEAR a half
     boundary (±1e-4 guard band — generous, still rare) is re-rounded
-    through Decimal(repr(x)) HALF_UP, which IS F.round's arithmetic:
-    Spark rounds doubles via BigDecimal.valueOf(d) =
-    BigDecimal(Double.toString(d)), and Double.toString / Python repr
-    are both shortest-round-trip decimal forms of the same bits.
-    Result: the GEMM builder cannot flip an edge ranking vs the SQL
-    fold at a half boundary."""
+    through Decimal(repr(x)) HALF_UP — the arithmetic of Spark's
+    BigDecimal.valueOf(d) = BigDecimal(Double.toString(d)) when
+    Double.toString yields the shortest round-trip form (always on
+    JDK ≥ 19; on this container's JDK 17 the strings agree on every
+    pinned adversarial case — test_round6_half_up_* — and a residual
+    disagreement would need Java's pre-19 longer expansion to cross a
+    7-decimal half that CPython's shortest form doesn't, a strictly
+    smaller window than the float-scaled one this path replaces)."""
     y = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
     frac = np.abs(x) * 1e6
     near_half = np.abs(frac - np.floor(frac) - 0.5) < 1e-4
@@ -113,8 +118,10 @@ def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
         flat_y = y.reshape(-1)
         flat_x = np.ascontiguousarray(x, dtype=np.float64).reshape(-1)
         for i in np.nonzero(near_half.reshape(-1))[0]:
+            # repr(float(...)): plain-float repr — np.float64 repr
+            # changes form under numpy 2.x and Decimal would reject it
             flat_y[i] = float(
-                Decimal(repr(flat_x[i])).quantize(q, rounding=ROUND_HALF_UP)
+                Decimal(repr(float(flat_x[i]))).quantize(q, rounding=ROUND_HALF_UP)
             )
     return y
 
@@ -153,16 +160,17 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
                 old.destroy()
             except Exception:
                 pass  # session already gone — blocks are freed anyway
-    n = e.count()
-    if n > NSW_EXACT_MAX_ROWS:
+    # single job: the limit bounds the driver collect to MAX+1 rows (a
+    # separate count() would evaluate the whole upstream plan twice)
+    rows = e.select("vec_id", "embedding").limit(NSW_EXACT_MAX_ROWS + 1).collect()
+    if len(rows) > NSW_EXACT_MAX_ROWS:
         raise ValueError(
             f"exact NSW graph build collects the corpus to the driver: "
-            f"{n} rows > NSW_EXACT_MAX_ROWS={NSW_EXACT_MAX_ROWS}. "
+            f"> NSW_EXACT_MAX_ROWS={NSW_EXACT_MAX_ROWS} rows. "
             "This builder is the ground-truth twin for test scales; "
             "use the LSH + NN-descent builder (_nsw_edges_lsh / "
             "kind='lsh') at corpus scale."
         )
-    rows = e.select("vec_id", "embedding").collect()
     if not rows:
         return spark.createDataFrame([], "src long, dst long")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -171,7 +179,17 @@ def _nsw_edges(e: DataFrame) -> DataFrame:
     ids, mat = ids[order], mat[order]
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, unit))
-    _EXACT_BCASTS.setdefault(app, []).append(bc)
+    live = _EXACT_BCASTS.setdefault(app, [])
+    live.append(bc)
+    # bound WITHIN-app growth too (repeated uncached builds): keep the
+    # newest few, unpersist() the rest — unpersist only drops executor
+    # copies; the driver re-ships the value if an older lazy frame is
+    # ever re-executed, so this is safe where destroy() would not be
+    while len(live) > _EXACT_BCASTS_KEEP:
+        try:
+            live.pop(0).unpersist(False)
+        except Exception:
+            pass
 
     def run(batches):
         import pyarrow as pa
@@ -1003,6 +1021,30 @@ def _hnsw_layer_members(e: DataFrame, level: int) -> DataFrame:
     return e.filter(_lvl_char().isin(*chars))
 
 
+def _hnsw_entry(e: DataFrame) -> DataFrame:
+    """The single entry point: min-md5 node of the HIGHEST POPULATED
+    layer (ORDER BY lvl DESC, md5, vec_id — identical to 'min md5 of
+    layer 2' whenever layer 2 has members, and degrades to the best
+    lower-layer node on corpora too small for the top layer instead
+    of silently returning an empty result set)."""
+    c = _lvl_char()
+    lvl = (
+        F.when(c.isin(*_HNSW_L2_CHARS), F.lit(2))
+        .when(c.isin(*_HNSW_L1_CHARS), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        e.select(
+            "vec_id",
+            lvl.alias("lvl"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy(F.desc("lvl"), "h", "vec_id")
+        .limit(1)
+        .select("vec_id")
+    )
+
+
 def build_hnsw_graphs(spark: SparkSession, sf_dir: str) -> dict[int, int]:
     """Force-build (and session-cache) all HNSW layer graphs; returns
     {level: edge_count}.  Layer 0 shares the ``exact`` cache entry
@@ -1051,14 +1093,7 @@ def ann_hnsw_layered(
             )
         )
 
-    entry = (
-        _hnsw_layer_members(e, HNSW_MAX_LEVEL)
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(1)
-        .select("vec_id")
-    )
-    visited = score(entry)
+    visited = score(_hnsw_entry(e))
     for edges, hops, ef in layers:
         beam = visited.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(ef)
         for _ in range(hops):
@@ -1119,8 +1154,8 @@ e2 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >=
 e1 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 1 AND dlvl >= 1)", m=NSW_M)}),
 e0 AS ({_TOP_M_SQL.format(scored="pairs", m=NSW_M)}),
 seeds AS (
-  SELECT vec_id FROM en WHERE lvl >= 2
-  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 1
+  SELECT vec_id FROM en
+  ORDER BY lvl DESC, md5(cast(vec_id AS varchar)), vec_id LIMIT 1
 ),
 v0 AS (
   SELECT s.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine
@@ -1205,15 +1240,8 @@ def hnsw_search_batch(
     )
     cp = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
 
-    entry = (
-        _hnsw_layer_members(e, HNSW_MAX_LEVEL)
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(1)
-        .select("vec_id")
-    )
     visited = _score_q(
-        q.select("qid").crossJoin(F.broadcast(entry)), en, q
+        q.select("qid").crossJoin(F.broadcast(_hnsw_entry(e))), en, q
     )
     for edges, hops, ef in _hnsw_layer_plan(spark, sf_dir, e):
         beam = _topn_q(visited, ef)
@@ -1289,8 +1317,8 @@ e2 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >=
 e1 AS ({_TOP_M_SQL.format(scored="(SELECT src, dst, cos FROM pairs WHERE slvl >= 1 AND dlvl >= 1)", m=NSW_M)}),
 e0 AS ({_TOP_M_SQL.format(scored="pairs", m=NSW_M)}),
 seeds AS (
-  SELECT vec_id FROM en WHERE lvl >= 2
-  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 1
+  SELECT vec_id FROM en
+  ORDER BY lvl DESC, md5(cast(vec_id AS varchar)), vec_id LIMIT 1
 ),
 v0 AS (
   SELECT q.qid, s.vec_id, {cos.format(a="e.embedding", b="q.q_emb")} AS cosine

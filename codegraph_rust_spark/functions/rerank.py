@@ -490,6 +490,11 @@ def rerank_with_cross_encoder(
     if scorer not in CROSS_ENCODERS:
         raise KeyError(f"unknown cross-encoder {scorer!r}; have {sorted(CROSS_ENCODERS)}")
     if scorer == "http":
+        import os as _os
+
+        # pin the resolved endpoint into the shipped config — executors
+        # don't inherit a driver-set env var (see embedder twin)
+        cfg["url"] = cfg.get("url") or _os.environ.get("RERANK_PROVIDER_URL")
         _xenc_http(cfg)  # fail at plan time if unconfigured
 
     schema = T.StructType(

@@ -138,6 +138,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 # indexed.ensure_doc_index; this is its in-memory twin for the
 # oracle slice.)
 _BM25_INPUT_CACHE: dict = {}
+# max live-session sf_dir entries (insertion-ordered dict ⇒ oldest out)
+_BM25_CACHE_KEEP = 4
 
 
 def _bm25_inputs(spark: SparkSession, sf_dir: str):
@@ -148,9 +150,13 @@ def _bm25_inputs(spark: SparkSession, sf_dir: str):
 
         # evict entries pinned to dead sessions (same policy as
         # _GRAPH_CACHE / _MAX_KEY_CACHE) and RELEASE their executor
-        # storage — without the unpersist, persisted tf/dl blocks
-        # accumulated across sf_dirs for the session's lifetime
-        for stale in [k for k in _BM25_INPUT_CACHE if k[0] != key[0]]:
+        # storage; ALSO cap live-session growth — one session sweeping
+        # many sf_dirs (the pytest tmp-corpus pattern) would otherwise
+        # accumulate two persisted frames per dir for its lifetime
+        doomed = [k for k in _BM25_INPUT_CACHE if k[0] != key[0]]
+        same_app = [k for k in _BM25_INPUT_CACHE if k[0] == key[0]]
+        doomed += same_app[: max(0, len(same_app) + 1 - _BM25_CACHE_KEEP)]
+        for stale in doomed:
             tf_old, dl_old, *_ = _BM25_INPUT_CACHE.pop(stale)
             for df in (tf_old, dl_old):
                 try:

@@ -174,3 +174,39 @@ def test_hnsw_batched_search_equals_single_query(spark):
         if r["qid"] == 0
     )
     assert batched == single
+
+
+def test_hnsw_entry_falls_back_when_top_layer_empty(spark, tmp_path):
+    """A corpus too small to populate the top layer must still answer
+    with top-k results via the highest POPULATED layer's entry point —
+    never a silently empty result set (round-5 review finding)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from codegraph_rust_spark.functions import nsw
+    from codegraph_rust_spark.functions.common import t
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "nolvl2")
+    os.makedirs(d, exist_ok=True)
+    e = t(spark, src, "embeddings")
+    # strip every level-2 vector (md5 last hex char '0'); keep the rest
+    kept = e.filter(
+        ~nsw._lvl_char().isin(*nsw._HNSW_L2_CHARS)
+    )
+    assert kept.count() > 50
+    kept.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    doc_src = os.path.join(src, "documents.parquet")
+    doc_dst = os.path.join(d, "documents.parquet")
+    if os.path.isdir(doc_src):
+        shutil.copytree(doc_src, doc_dst)
+    else:
+        shutil.copy(doc_src, doc_dst)
+
+    out = nsw.ann_hnsw_layered(spark, d).collect()
+    assert len(out) == nsw.NSW_K, out
+    # vec 0 has level 0 at this seed (md5('0') ends in 'a') — the
+    # query vector itself must still be found through the descent
+    assert out[0]["vec_id"] == 0 and out[0]["rank"] == 1

@@ -117,3 +117,18 @@ def test_provider_hook_http_is_loudly_gated(spark):
     docs = t(spark, "/root/testdata/sf0.001", "documents")
     with pytest.raises(NotImplementedError, match="fixture"):
         embed_documents_with_provider(docs, provider="http")
+
+
+def test_provider_hook_rejects_conflicting_dims(spark):
+    import pytest
+
+    from codegraph_rust_spark.functions.common import t
+    from codegraph_rust_spark.functions.embedder import (
+        embed_documents_with_provider,
+    )
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="conflicting dimensions"):
+        embed_documents_with_provider(
+            docs, "hashed-bow", config={"dim": 8}, dim=4
+        )
