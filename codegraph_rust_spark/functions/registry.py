@@ -63,6 +63,7 @@ REGISTRY: dict = {
     "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
     "term_postings": (tx.term_postings, tx.TERM_POSTINGS_SQL),
     # --- NEW in round 5: never driver-verified ------------------------
+    "dup_span_profile": (tx.dup_span_profile, tx.DUP_SPAN_PROFILE_SQL),
     "ann_hnsw_layered": (nsw.ann_hnsw_layered, nsw.ANN_HNSW_LAYERED_SQL),
     "ann_hnsw_batch": (nsw.ann_hnsw_batch, nsw.ANN_HNSW_BATCH_SQL),
     "hybrid_nsw_topk": (nsw.hybrid_nsw_topk, nsw.HYBRID_NSW_TOPK_SQL),

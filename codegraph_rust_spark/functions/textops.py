@@ -568,6 +568,98 @@ FROM documents GROUP BY 1
 """
 
 
+# Tokens per duplicated-span window.  Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") use 50-BPE-token spans
+# at web scale; the dial tracks the span length considered memorizable
+# — constant in corpus size n.  4 fits the short synthetic docs (and
+# yields real cross-doc signal at the test SFs).  Stride = W
+# (non-overlapping): windows per doc = tokens/W, so the whole stage is
+# LINEAR in corpus tokens — the stride-1 exact variant multiplies that
+# by W and is what the suffix-array batch job buys back offline.
+DUP_SPAN_W = 4
+
+
+def dup_span_profile(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Sub-document duplicated-span profile: hash fixed-width token
+    windows, mark spans appearing in ≥ 2 DISTINCT docs, and rank docs
+    by the fraction of their windows that are cross-doc duplicates —
+    the doc-level signal CC pipelines use to strip boilerplate and
+    memorizable repeats that whole-doc dedup (exact_dedup_groups,
+    MinHash) cannot see.
+
+    Scale shape (100 TB): window extraction is pure column exprs over
+    one scan (no Python); the distinct (doc, span) projection and the
+    span-count agg both partial-aggregate map-side, so a boilerplate
+    span present in 10^9 docs arrives at its reducer as per-partition
+    partial counts, never as 10^9 rows — the window-function
+    formulation (count OVER (PARTITION BY whash)) was rejected for
+    exactly that hot-key reason.  The rejoin is a shuffle join on
+    whash, the same partitioning the agg just produced."""
+    w = DUP_SPAN_W
+    wins = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _TOKS().alias("a"))
+        .filter(F.size("a") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(a) div {w}), "
+                    f"i -> md5(array_join(slice(a, (i-1)*{w}+1, {w}), ' ')))"
+                )
+            ).alias("whash"),
+        )
+    )
+    counts = (
+        wins.select("doc_id", "whash")
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        wins.join(counts, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6),
+        )
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+DUP_SPAN_PROFILE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(a[(i-1)*{DUP_SPAN_W}+1 : i*{DUP_SPAN_W}], ' ')) AS whash
+  FROM toks, unnest(range(1, len(a)//{DUP_SPAN_W} + 1)) AS t(i)
+  WHERE len(a) >= {DUP_SPAN_W}
+),
+counts AS (
+  SELECT whash, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, whash FROM win) GROUP BY whash
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       cast(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS bigint) AS dup_windows,
+       round(cast(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) AS dup_frac
+FROM win w JOIN counts c USING (whash)
+GROUP BY w.doc_id
+ORDER BY dup_frac DESC, doc_id
+LIMIT 20
+"""
+
+
 def _trigrams(spark, sf_dir):
     # docs with < 3 tokens produce no trigrams — filter BEFORE the
     # transform: under ANSI mode a[i] on an out-of-range index raises

@@ -129,3 +129,33 @@ def test_simhash_identical_and_distinct(spark, mini_dir):
     near = {(r["doc_a"], r["doc_b"]): r["hamming"]
             for r in simhash_near_pairs(spark, mini_dir).collect()}
     assert near.get((0, 1)) == 0
+
+
+def test_dup_span_profile_planted_spans(spark, mini_dir):
+    """Exact accounting on the crafted corpus: BASE is 20 tokens = 5
+    non-overlapping 4-token windows, so the span-level dup fractions
+    are fully predictable — identical docs 1.0, the 1-token edit 4/5,
+    the superset 5/6, the two unrelated docs exactly 0."""
+    from codegraph_rust_spark.functions.textops import dup_span_profile
+
+    rows = {
+        r["doc_id"]: r for r in dup_span_profile(spark, mini_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    expect = {  # doc_id -> (n_windows, dup_windows, dup_frac)
+        0: (5, 5, 1.0),
+        1: (5, 5, 1.0),
+        5: (6, 5, 0.833333),  # BASE + 4 novel tokens
+        2: (5, 4, 0.8),       # sigma -> sigmoid kills only window 5
+        3: (3, 0, 0.0),
+        4: (3, 0, 0.0),
+    }
+    for doc_id, (nw, dw, frac) in expect.items():
+        r = rows[doc_id]
+        assert (r["n_windows"], r["dup_windows"], r["dup_frac"]) == (
+            nw, dw, frac,
+        ), (doc_id, dict(r.asDict()))
+    # ranking: dup_frac desc, doc_id asc
+    assert [r["doc_id"] for r in dup_span_profile(spark, mini_dir).collect()] == [
+        0, 1, 5, 2, 3, 4,
+    ]

@@ -145,3 +145,18 @@ def test_hnsw_layered_hops_are_broadcast_lookups(spark):
     p = _plan(ann_hnsw_layered(spark, SF, _truncate=False))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dup_span_profile_partial_aggs_no_quadratic_join(spark):
+    """The span-count side must partial-aggregate BEFORE any exchange
+    (a boilerplate span in 10^9 docs must arrive at its reducer as
+    partial counts, not rows) and the rejoin must be an equi-join —
+    never a nested-loop/cartesian."""
+    from codegraph_rust_spark.functions.textops import dup_span_profile
+
+    p = _plan(dup_span_profile(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # three agg pairs (distinct pairs, span counts, per-doc profile),
+    # each map-side partial + reduce-side final
+    assert p.count("HashAggregate") == 6
