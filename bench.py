@@ -226,6 +226,7 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash_near_pairs",
+        "dup_span_profile",
         "embedding_near_dup",
         "degree_counts",
         "hybrid_score_topk",
