@@ -257,7 +257,13 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
         .distinct()
     )
 
+    from .dedup_approx import dot_f64
+
     def score_pairs(p: DataFrame) -> DataFrame:
+        # bounded key joins fetch both embeddings, then the dot product
+        # runs Arrow-vectorized over whole batches (dot_f64) instead of
+        # one interpreted lambda fold per pair — rounding stays the
+        # same JVM F.round, so ranking/tie semantics are unchanged
         return (
             p.join(
                 en.select(
@@ -279,8 +285,7 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
                 "src",
                 "dst",
                 F.round(
-                    F.expr(_DOT.format(a="a_emb", b="b_emb"))
-                    / (F.col("a_nrm") * F.col("b_nrm")),
+                    dot_f64("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")),
                     6,
                 ).alias("cos"),
             )
@@ -295,10 +300,17 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
             .select("src", "dst")
         )
 
+    # Materialize the multiply-referenced intermediates: without the
+    # checkpoints, ``cand`` is re-derived ~5× and the round-0 scoring
+    # ~4× (bsym references g0 twice, cand2 references bsym twice and
+    # cand once — plan audit showed 20 scans of the source table for
+    # one build).  Both frames are key pairs only (two longs a row),
+    # so the materialization is tiny at any scale.
+    cand = cand.localCheckpoint(eager=False)
     g0 = top_m(score_pairs(cand))
     bsym = g0.unionByName(
         g0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     x, y = bsym.alias("x"), bsym.alias("y")
     cand2 = (
         x.join(
