@@ -104,7 +104,9 @@ def n_salts_expr(df_col, cfg: IndexConfig):
     ).cast("int")
 
 
-def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+def tokenize_stage(
+    pages: DataFrame, cfg: IndexConfig, probe_dups: bool = True
+) -> DataFrame:
     """pages(doc_id?, url, html?, text?) → (doc_id, url, doc_len, tfs map).
 
     doc_id: xxhash64(url) when cfg.doc_id_mode == "hash" (computed
@@ -137,15 +139,21 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         # the corpus.  Full-width hash collisions (~n²/2^65) are
         # accepted and documented, as in the reference's hash-keyed node
         # identity (indexer.rs:1087-1102).
-        has_dup = (
-            pages.groupBy("url")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
-            .count()
-        )
-        if has_dup:
-            pages = pages.dropDuplicates(["url"])
+        # probe_dups=False defers the uniqueness guard to the CALLER,
+        # which validates distinct(doc_id) == n_docs on the written
+        # ledger (a one-int64-column scan of the ledger instead of a
+        # url scan of the raw corpus) and falls back to dedup+rewrite
+        # only on violation — build_index / incremental_update do this.
+        if probe_dups:
+            has_dup = (
+                pages.groupBy("url")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .count()
+            )
+            if has_dup:
+                pages = pages.dropDuplicates(["url"])
         pages = pages.withColumn("doc_id", F.xxhash64("url"))
     elif "doc_id" not in cols:
         raise ValueError("doc_id_mode='provided' but no doc_id column")
@@ -662,6 +670,269 @@ def merge_partials(
             )
 
     return parted.mapInArrow(run, schema=MERGED_SCHEMA)
+
+
+def _n_salts_py(df: int, cfg: IndexConfig) -> int:
+    """Python twin of ``n_salts_expr`` (bit-identical by construction:
+    exact integer ceil + next-power-of-two, capped) — pinned against
+    the Spark expression by test."""
+    if df <= cfg.salt_df_threshold:
+        return 1
+    ratio = -(-int(df) // cfg.salt_df_threshold)  # exact ceil
+    p = 1
+    while p < ratio and p < cfg.max_salts:
+        p *= 2
+    return min(p, cfg.max_salts)
+
+
+def delta_merge_postings(
+    old_post: DataFrame,
+    removed_tf: DataFrame,
+    added_tf: DataFrame,
+    cfg: IndexConfig,
+    touched: list[int],
+) -> DataFrame:
+    """O(delta)-shaped incremental postings maintenance: merge a
+    doc-granular delta INTO the already-encoded posting rows instead of
+    re-running the whole SPIMI pipeline over the corpus ledger.
+
+    The previous incremental path re-encoded every touched bucket from
+    scratch (explode + sort + shuffle + merge over ALL docs whose terms
+    hash into a touched bucket — at web dials where a 1% delta's
+    vocabulary covers every bucket, that degenerates into a full
+    postings rebuild).  Here the unit of work is the TERM, not the
+    bucket:
+
+    * posting rows of terms absent from the delta PASS THROUGH with
+      their encoded payloads untouched (no decode, no re-encode — the
+      Zipf tail, which is most of the vocabulary, costs one columnar
+      copy);
+    * rows of delta terms are decoded, the removed doc_ids dropped, the
+      added (doc, tf, dl) entries appended, the term RE-SALTED under
+      its new df (crossing a salt threshold re-shards correctly), and
+      re-encoded through the same ``_encode_final_chunk`` as the bulk
+      build — so payload bytes equal a from-scratch rebuild's exactly
+      (gated by test_incremental_equals_scratch's payload xor-hash);
+    * terms new to the corpus (no old row) are encoded from the delta
+      alone.
+
+    Cost: one pruned scan of the touched ``tbucket=`` directories plus
+    numpy decode/encode proportional to the AFFECTED lists' length —
+    never a corpus-sized shuffle.  The per-term delta arrays are
+    broadcast (O(delta) bytes); at deltas too large to broadcast the
+    bulk build is the right tool anyway (documented dial).
+
+    ``removed_tf`` / ``added_tf`` carry (doc_id, doc_len, term_id, tf)
+    rows for the removed / added documents (explode_tf shape).
+    Returns rows in POSTINGS_SCHEMA + tbucket for the touched buckets
+    only."""
+    spark = old_post.sparkSession
+    block = cfg.block_size
+    tb = cfg.term_buckets
+
+    rm_g = removed_tf.groupBy("term_id").agg(
+        F.collect_list("doc_id").alias("rm_docs"),
+        F.count(F.lit(1)).alias("rm_df"),
+    )
+    ad_g = added_tf.groupBy("term_id").agg(
+        F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("ad"),
+        F.count(F.lit(1)).alias("ad_df"),
+    )
+    # materialize once: the delta arrays are referenced by BOTH legs
+    # below (broadcast join + new-term anti-join), and their lineage
+    # re-runs ledger semi-joins + explodes per reference otherwise.
+    # O(delta) rows — tiny by definition of an incremental update.
+    delta = rm_g.join(ad_g, "term_id", "full_outer").localCheckpoint(eager=False)
+
+    old_cols = [*POSTINGS_SCHEMA.names, "tbucket"]
+    leg1 = old_post.filter(
+        F.col("tbucket").isin([int(b) for b in touched])
+    ).select(*old_cols).join(F.broadcast(delta), "term_id", "left")
+    # brand-new terms: no old posting row anywhere — their bucket is
+    # touched by construction, so the anti-join side is bucket-sized
+    new_terms = delta.join(
+        old_post.filter(F.col("tbucket").isin([int(b) for b in touched]))
+        .select("term_id").distinct(),
+        "term_id",
+        "left_anti",
+    )
+    leg2 = new_terms.select(
+        "term_id",
+        F.lit(None).cast(T.IntegerType()).alias("salt"),
+        F.lit(None).cast(T.LongType()).alias("df"),
+        F.lit(None).cast(T.IntegerType()).alias("n"),
+        F.lit(None).cast(T.BinaryType()).alias("doc_payload"),
+        F.lit(None).cast(T.BinaryType()).alias("tf_payload"),
+        F.lit(None).cast(T.BinaryType()).alias("dl_payload"),
+        F.lit(None).cast(T.LongType()).alias("n_bytes"),
+        F.lit(None).cast(T.ArrayType(T.LongType())).alias("block_last_doc"),
+        F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("block_tf"),
+        F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("block_dl"),
+        F.pmod(F.col("term_id"), F.lit(tb)).cast("int").alias("tbucket"),
+        "rm_docs",
+        "rm_df",
+        "ad",
+        "ad_df",
+    )
+    merged_in = leg1.select(*leg2.columns).unionByName(leg2)
+    n_part = max(1, min(len(touched), int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )))
+    merged_in = merged_in.repartition(n_part, "tbucket")
+
+    out_schema = T.StructType(
+        [*POSTINGS_SCHEMA.fields, T.StructField("tbucket", T.IntegerType())]
+    )
+    thr, max_salts = cfg.salt_df_threshold, cfg.max_salts
+
+    def run(batches):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        a_schema = to_arrow_schema(out_schema)
+        tabs = [pa.Table.from_batches([rb]) for rb in batches if rb.num_rows]
+        if not tabs:
+            return
+        tab = pa.concat_tables(tabs)
+        rm_valid = ~np.asarray(tab.column("rm_df").is_null())
+        ad_valid = ~np.asarray(tab.column("ad_df").is_null())
+        affected = rm_valid | ad_valid
+
+        # 1. pass-through: rows of terms outside the delta keep their
+        #    encoded payloads bit-for-bit (columnar copy only)
+        keep = tab.filter(pa.array(~affected)).select(
+            [*POSTINGS_SCHEMA.names, "tbucket"]
+        )
+        for rb in keep.cast(a_schema).to_batches(65536):
+            yield rb
+
+        if not affected.any():
+            return
+        aff = tab.filter(pa.array(affected))
+        term = np.asarray(aff.column("term_id"), dtype=np.int64)
+        has_old = ~np.asarray(aff.column("n").is_null())
+        n_col = aff.column("n").to_pylist()
+        docp = aff.column("doc_payload").to_pylist()
+        tfp = aff.column("tf_payload").to_pylist()
+        dlp = aff.column("dl_payload").to_pylist()
+        rm_l = aff.column("rm_docs").to_pylist()
+        ad_l = aff.column("ad").to_pylist()
+
+        from .codec import decode_u32, decode_u64, delta_decode_blocked
+
+        order = np.argsort(term, kind="stable")
+        t_sorted = term[order]
+        bounds = np.nonzero(
+            np.concatenate([[True], t_sorted[1:] != t_sorted[:-1]])
+        )[0]
+        bounds = np.append(bounds, len(t_sorted))
+
+        out_t: list = []
+        out_s: list = []
+        out_d: list = []
+        out_tf: list = []
+        out_dl: list = []
+        df_of_term: list = []
+        for gi in range(len(bounds) - 1):
+            rows = order[bounds[gi] : bounds[gi + 1]]
+            t_id = int(term[rows[0]])
+            docs_parts, tf_parts, dl_parts = [], [], []
+            rm_docs = None
+            ad_rows = None
+            for r in rows:
+                r = int(r)
+                if has_old[r]:
+                    docs_parts.append(
+                        delta_decode_blocked(decode_u64(bytes(docp[r])), block)
+                    )
+                    tf_parts.append(decode_u32(bytes(tfp[r])).astype(np.int64))
+                    dl_parts.append(decode_u32(bytes(dlp[r])).astype(np.int64))
+                if rm_docs is None and rm_l[r] is not None:
+                    rm_docs = np.asarray(rm_l[r], dtype=np.int64)
+                if ad_rows is None and ad_l[r] is not None:
+                    ad_rows = ad_l[r]
+            if docs_parts:
+                docs = np.concatenate(docs_parts)
+                tfs = np.concatenate(tf_parts)
+                dls = np.concatenate(dl_parts)
+            else:
+                docs = np.empty(0, dtype=np.int64)
+                tfs = np.empty(0, dtype=np.int64)
+                dls = np.empty(0, dtype=np.int64)
+            if rm_docs is not None and len(docs):
+                keep_m = ~np.isin(docs, rm_docs)
+                docs, tfs, dls = docs[keep_m], tfs[keep_m], dls[keep_m]
+            if ad_rows:
+                docs = np.concatenate(
+                    [docs, np.array([a["doc_id"] for a in ad_rows], np.int64)]
+                )
+                tfs = np.concatenate(
+                    [tfs, np.array([a["tf"] for a in ad_rows], np.int64)]
+                )
+                dls = np.concatenate(
+                    [dls, np.array([a["doc_len"] for a in ad_rows], np.int64)]
+                )
+            df_new = len(docs)
+            if df_new == 0:
+                continue  # term vanished from the corpus
+            ns = _n_salts_py(df_new, cfg)
+            salt = np.mod(docs, ns)
+            o2 = np.lexsort((docs, salt))
+            out_t.append(np.full(df_new, t_id, dtype=np.int64))
+            out_s.append(salt[o2])
+            out_d.append(docs[o2])
+            out_tf.append(tfs[o2])
+            out_dl.append(dls[o2])
+            df_of_term.append((t_id, df_new))
+
+        if not out_t:
+            return
+        t_all = np.concatenate(out_t)
+        s_all = np.concatenate(out_s)
+        d_all = np.concatenate(out_d)
+        tf_all = np.concatenate(out_tf)
+        dl_all = np.concatenate(out_dl)
+        # dense run ids over the already-(term, salt)-sorted stream
+        change = np.zeros(len(t_all), dtype=np.int64)
+        change[1:] = (t_all[1:] != t_all[:-1]) | (s_all[1:] != s_all[:-1])
+        np.cumsum(change, out=change)
+        starts = np.nonzero(
+            np.concatenate([[True], change[1:] != change[:-1]])
+        )[0]
+        term_of_rid = t_all[starts]
+        salt_of_rid = s_all[starts]
+        enc: list = []
+        _encode_final_chunk(
+            change, term_of_rid, salt_of_rid, d_all, tf_all, dl_all, block, enc
+        )
+        df_map = dict(df_of_term)
+        rows_out = [
+            (
+                r[0],            # term_id
+                r[1],            # salt
+                df_map[r[0]],    # df (new)
+                r[2],            # n
+                r[3], r[4], r[5],  # payloads
+                r[6],            # n_bytes
+                r[7], r[8], r[9],  # block metadata
+                int(r[0]) % tb,  # tbucket
+            )
+            for r in enc
+        ]
+        for s0 in range(0, len(rows_out), 65536):
+            cz = list(zip(*rows_out[s0 : s0 + 65536]))
+            yield pa.record_batch(
+                [pa.array(c, a_schema.field(i).type) for i, c in enumerate(cz)],
+                schema=a_schema,
+            )
+
+    out = merged_in.mapInArrow(run, schema=out_schema)
+    # cluster + sort exactly like the bulk build's tail so each bucket
+    # writes as one sorted file with tight term_id row-group stats
+    return out.repartition(n_part, "tbucket").sortWithinPartitions(
+        "tbucket", "term_id"
+    )
 
 
 def build_postings(

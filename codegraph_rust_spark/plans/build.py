@@ -184,7 +184,10 @@ def derived_stages(
         def _postings():
             est_rows = int(n_docs * max(avgdl, 1.0) * 0.85)
             post = build_postings(tokenized, dictionary, cfg, est_rows=est_rows)
-            cat.write(post, POSTINGS, partition_by=["tbucket"])
+            # worker-direct partitioned write: encoded rows stream from
+            # the merge tasks straight into tbucket=X parquet files
+            # (no JVM row transpose of the payload blobs)
+            cat.write_arrow_direct(post, POSTINGS, partition_col="tbucket")
             # an EMPTY partitioned write leaves zero data files, which
             # makes the table unreadable (no schema to infer).  Seed a
             # schema-ful empty file INSIDE a tbucket=0 partition dir —
@@ -248,15 +251,34 @@ def build_index(
 
     corpus_row = None
     if not done[TOKENIZED]:
-        # corpus scalars ride the tokenize write as an Observation —
-        # n_docs/avgdl/fingerprint cost zero extra jobs or scans
-        from pyspark.sql import Observation
-
+        # worker-direct Arrow parquet write (no JVM row transpose —
+        # Catalog.write_arrow_direct); the corpus scalars
+        # (n_docs/avgdl/fingerprint) ride the same pass as per-task
+        # partials, costing zero extra jobs or scans
         t = time.time()
-        obs = Observation("corpus")
-        cat.write(tokenize_stage(pages, cfg).observe(obs, *CORPUS_AGGS()), TOKENIZED)
+        corpus_row = cat.write_arrow_direct(
+            tokenize_stage(pages, cfg, probe_dups=False),
+            TOKENIZED,
+            ledger_stats=True,
+        )
+        # deferred url-uniqueness guard: duplicate urls collide on
+        # doc_id = xxhash64(url), so distinct(doc_id) < n_docs exposes
+        # them; checking the ledger's one int64 column replaces the
+        # old eager url-probe scan of the raw corpus (tokenize_stage),
+        # and the dedup+rewrite fallback only runs on violation
+        if (
+            cfg.doc_id_mode == "hash"
+            and corpus_row["n_docs"]
+            and cat.read(spark, TOKENIZED).select("doc_id").distinct().count()
+            != corpus_row["n_docs"]
+        ):
+            pages = pages.dropDuplicates(["url"])
+            corpus_row = cat.write_arrow_direct(
+                tokenize_stage(pages, cfg, probe_dups=False),
+                TOKENIZED,
+                ledger_stats=True,
+            )
         metrics["stages"][TOKENIZED] = {"wall_s": round(time.time() - t, 3)}
-        corpus_row = obs.get
         write_corpus_row(cat, spark, corpus_row)
         done[CORPUS] = True
 

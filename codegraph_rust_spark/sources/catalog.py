@@ -90,6 +90,133 @@ class Catalog:
         os.replace(tmp, p)
         shutil.rmtree(old, ignore_errors=True)
 
+    def write_arrow_direct(
+        self,
+        df: DataFrame,
+        name: str,
+        ledger_stats: bool = False,
+        partition_col: str | None = None,
+    ) -> dict:
+        """Worker-direct parquet write: every task streams its Arrow
+        batches straight into a part file with pyarrow, so the data
+        never round-trips through the JVM row format (the standard
+        ``df.write.parquet`` path converts each Arrow batch to internal
+        rows and re-encodes them in the JVM writer — measured ~5s of a
+        ~8s tokenized-ledger write at 100k docs, and a pure transpose
+        tax at any scale).  The driver is the committer: tasks write to
+        dot-prefixed temp names (invisible to Spark's parquet reader),
+        rename on close, and the ``_SUCCESS`` marker is written only
+        after the job completes — identical visibility semantics to the
+        committed ``write`` path.  Task retries overwrite their own
+        deterministic part name, so the protocol is retry-idempotent
+        (local mode runs no speculative duplicates).
+
+        With ``ledger_stats=True`` the corpus scalars
+        (n_docs/avgdl/n_tokens/input_fingerprint — CORPUS_AGGS
+        semantics, xxh64_str == Spark xxhash64 pinned by test) ride the
+        write as per-task partials folded on the driver, so no
+        separate corpus scan is needed.  Returned dict always carries
+        ``n_docs``."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F  # noqa: F401 (API parity)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path = self.path(name)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        a_schema = to_arrow_schema(df.schema)
+        names = list(df.columns)
+        dl_i = names.index("doc_len") if ledger_stats else -1
+        url_i = names.index("url") if ledger_stats else -1
+        part_i = names.index(partition_col) if partition_col else -1
+
+        def sink(batches):
+            import os as _os
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as _pq
+            from pyspark import TaskContext
+
+            from ..operators.xxhash import xxh64_str
+
+            pid = TaskContext.get().partitionId()
+            writers: dict = {}  # partition value (or None) → (tmp, final, writer)
+
+            def get_writer(key, schema):
+                w = writers.get(key)
+                if w is None:
+                    if key is None:
+                        d = path
+                    else:
+                        d = _os.path.join(path, f"{partition_col}={key}")
+                        _os.makedirs(d, exist_ok=True)
+                    tmp = _os.path.join(d, f".part-{pid:05d}.parquet.inprogress")
+                    final = _os.path.join(d, f"part-{pid:05d}.parquet")
+                    w = (tmp, final, _pq.ParquetWriter(tmp, schema))
+                    writers[key] = w
+                return w[2]
+
+            n = 0
+            ntok = 0
+            fp = 0
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                n += rb.num_rows
+                if dl_i >= 0:
+                    ntok += int(pc.sum(rb.column(dl_i)).as_py() or 0)
+                    for u in rb.column(url_i).to_pylist():
+                        fp ^= xxh64_str(u)
+                if part_i < 0:
+                    get_writer(None, rb.schema).write_batch(rb)
+                    continue
+                # split the batch into runs of equal partition value
+                # (upstream sorts by the partition column, so runs are
+                # long; arbitrary interleave still works, just slower)
+                vals = rb.column(part_i).to_numpy(zero_copy_only=False)
+                body = rb.drop_columns([partition_col])
+                start = 0
+                for i in range(1, rb.num_rows + 1):
+                    if i == rb.num_rows or vals[i] != vals[start]:
+                        get_writer(int(vals[start]), body.schema).write_batch(
+                            body.slice(start, i - start)
+                        )
+                        start = i
+            for tmp, final, w in writers.values():
+                w.close()
+                _os.replace(tmp, final)
+            yield pa.record_batch(
+                [
+                    pa.array([n], pa.int64()),
+                    pa.array([ntok], pa.int64()),
+                    pa.array([fp], pa.int64()),
+                ],
+                names=["n", "ntok", "fp"],
+            )
+
+        rows = df.mapInArrow(sink, "n long, ntok long, fp long").collect()
+        n_docs = sum(int(r["n"]) for r in rows)
+        n_tokens = sum(int(r["ntok"]) for r in rows)
+        fp = 0
+        for r in rows:
+            fp ^= int(r["fp"])
+        if n_docs == 0 and partition_col is None:
+            # schema-ful empty file so the committed table stays readable
+            pq.write_table(a_schema.empty_table(), os.path.join(path, "part-00000.parquet"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+        out = {"n_docs": n_docs}
+        if ledger_stats:
+            out.update(
+                {
+                    "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+                    "n_tokens": n_tokens,
+                    "input_fingerprint": fp,
+                }
+            )
+        return out
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
 

@@ -42,10 +42,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import IndexConfig
-from ..operators.postings import build_postings, explode_tf, tokenize_stage
+from ..operators.postings import delta_merge_postings, explode_tf, tokenize_stage
 from ..plans.build import (
     CORPUS,
-    CORPUS_AGGS,
     DICT,
     DOCS,
     POSTINGS,
@@ -172,8 +171,33 @@ def incremental_update(
     old_tok = cat.read(spark, TOKENIZED)
     keep_tok = old_tok.join(changed_urls, "url", "left_anti")
     pages_re = pages_new.join(reindex_urls, "url", "left_semi")
-    new_tok = tokenize_stage(pages_re, cfg).select(*old_tok.columns)
-    cat.write(keep_tok.unionByName(new_tok), TOKENIZED + "_next")
+    new_tok = tokenize_stage(pages_re, cfg, probe_dups=False).select(
+        *old_tok.columns
+    )
+    # worker-direct Arrow write (no JVM row transpose); the NEW
+    # ledger's corpus scalars ride the write as per-task partials, so
+    # the post-splice corpus re-scan below is free
+    next_stats = cat.write_arrow_direct(
+        keep_tok.unionByName(new_tok), TOKENIZED + "_next", ledger_stats=True
+    )
+    # deferred url-uniqueness guard (see build_index): duplicate urls in
+    # the delta collide on doc_id — validate on the ledger's int64
+    # column, dedup + rewrite only on violation
+    if (
+        cfg.doc_id_mode == "hash"
+        and next_stats["n_docs"]
+        and cat.read(spark, TOKENIZED + "_next")
+        .select("doc_id")
+        .distinct()
+        .count()
+        != next_stats["n_docs"]
+    ):
+        new_tok = tokenize_stage(
+            pages_re.dropDuplicates(["url"]), cfg, probe_dups=False
+        ).select(*old_tok.columns)
+        next_stats = cat.write_arrow_direct(
+            keep_tok.unionByName(new_tok), TOKENIZED + "_next", ledger_stats=True
+        )
     next_tok = cat.read(spark, TOKENIZED + "_next")
 
     # --- dictionary delta merge (everything below reads the OLD ledger
@@ -218,16 +242,20 @@ def incremental_update(
     cat.write(merged, DICT + "_next")
     metrics["stages"][DICT] = {"wall_s": round(time.time() - t, 3)}
 
-    # --- re-encode ONLY the touched buckets from the spliced ledger
+    # --- term-granular delta merge of the touched buckets: unchanged
+    #     terms' encoded rows pass through byte-identical; only delta
+    #     terms decode + re-encode (operators/postings.
+    #     delta_merge_postings) — the previous path re-ran the whole
+    #     SPIMI pipeline over every doc whose terms hash into a touched
+    #     bucket, which at web dials (a 1% delta's vocabulary covers
+    #     every bucket) degenerated into a full postings rebuild
     t = time.time()
-    est_rows = max(1, int(next_tok.count() * 30 * len(touched) / cfg.term_buckets))
-    cat.write(
-        build_postings(
-            next_tok, cat.read(spark, DICT + "_next"), cfg,
-            est_rows=est_rows, tbuckets=touched,
+    cat.write_arrow_direct(
+        delta_merge_postings(
+            cat.read(spark, POSTINGS), removed_tf, added_tf, cfg, touched
         ),
         POSTINGS + "_next",
-        partition_by=["tbucket"],
+        partition_col="tbucket",
     )
     metrics["stages"][POSTINGS] = {"wall_s": round(time.time() - t, 3)}
     delta.unpersist()
@@ -237,12 +265,13 @@ def incremental_update(
     _swap_table(cat, DICT)
     _splice_postings(cat, touched)
 
-    # --- corpus scalars from the new ledger (docs is a pruned view
-    #     over tokenized — plans/build.read_docs — so no table rebuild;
-    #     a physical docs dir from an older index would now be stale)
+    # --- corpus scalars: the _next ledger IS the live ledger after the
+    #     swap, and its scalars rode the write above — no re-scan.
+    #     (docs is a pruned view over tokenized — plans/build.read_docs
+    #     — so no table rebuild; a physical docs dir from an older
+    #     index would now be stale)
     cat.drop(DOCS)
-    live_tok = cat.read(spark, TOKENIZED)
-    stats = live_tok.agg(*CORPUS_AGGS()).collect()[0].asDict()
+    stats = next_stats
     write_corpus_row(cat, spark, stats)
     write_lineage(cat, spark, int(stats["input_fingerprint"] or 0))
 

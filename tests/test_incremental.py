@@ -194,3 +194,62 @@ def test_splice_granularity_scales_with_term_buckets(spark, v1_pages, tmp_path):
     assert len(untouched) >= 256, len(untouched)
     for d in untouched:
         assert after[d] == before[d], f"{d} changed despite not being touched"
+
+
+def test_incremental_reshards_across_salt_threshold(spark, tmp_path):
+    """A delta that pushes a term's df across salt_df_threshold must
+    RE-SHARD that term (n_salts 1 → 2): the delta-merge postings path
+    (operators/postings.delta_merge_postings) re-salts affected terms
+    under their NEW df instead of patching old salt rows in place.
+    Pinned as agg-equality (payload xor included) against a scratch
+    rebuild, plus identical query results through both indexes."""
+    cfg = IndexConfig(
+        input_partitions=2, salt_df_threshold=8, max_salts=4, term_buckets=8
+    )
+
+    def pages(n_hot):
+        rows = []
+        for i in range(20):
+            hot = " zmarkerhot" if i < n_hot else ""
+            txt = f"common filler words doc{i}{hot}"
+            rows.append(
+                (f"https://h{i}.example/p/{i}",
+                 f"<html><body><p>{txt}</p></body></html>".encode(), txt)
+            )
+        return spark.createDataFrame(
+            rows, "url string, html binary, text string"
+        )
+
+    v1, v2 = pages(6), pages(12)  # df(zmarkerhot): 6 ≤ 8 < 12
+    inc_dir, scratch_dir = str(tmp_path / "inc"), str(tmp_path / "scratch")
+    build_index(spark, v1, inc_dir, cfg, resume=False)
+    m = incremental_update(spark, v2, inc_dir, cfg)
+    assert m["unchanged"] is False
+    build_index(spark, v2, scratch_dir, cfg, resume=False)
+
+    pa_ = spark.read.parquet(os.path.join(inc_dir, "postings"))
+    pb_ = spark.read.parquet(os.path.join(scratch_dir, "postings"))
+    agg = lambda d: tuple(
+        d.agg(
+            F.count(F.lit(1)),
+            F.sum("n"),
+            F.max("salt"),
+            F.expr("bit_xor(xxhash64(term_id, salt, doc_payload, tf_payload))"),
+        ).collect()[0]
+    )
+    assert agg(pa_) == agg(pb_)
+    # the hot term is actually sharded now (max salt > 0 somewhere)
+    from codegraph_rust_spark.operators.xxhash import xxh64_str
+    from codegraph_rust_spark.textkit.porter2 import stem
+
+    tid = xxh64_str(stem("zmarkerhot"))
+    shards = pa_.filter(F.col("term_id") == tid).select("salt").collect()
+    assert sorted({r["salt"] for r in shards}) == [0, 1]
+
+    ia, ib = InvertedIndex(spark, inc_dir, cfg), InvertedIndex(spark, scratch_dir, cfg)
+    qs = [(0, "zmarkerhot filler"), (1, "common doc5")]
+    ra = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in ia.topk_batch(qs, 10, mode="maxscore").collect())
+    rb = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in ib.topk_batch(qs, 10, mode="maxscore").collect())
+    assert ra == rb
