@@ -361,12 +361,14 @@ def _beam_visited(
     visited = score(seeds)
     beam = visited.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(NSW_EF)
     for _ in range(NSW_HOPS):
+        # no .distinct(): the groupBy(vec_id).max below dedups, and
+        # cosine is a pure function of vec_id — dropping the exchange
+        # saves one shuffle per hop for identical visited sets
         reached = (
             edges.join(
                 F.broadcast(beam.select(F.col("vec_id").alias("src"))), "src"
             )
             .select(F.col("dst").alias("vec_id"))
-            .distinct()
         )
         visited = cp(
             visited.unionByName(score(reached))
@@ -548,13 +550,14 @@ def _batched_visited(
     visited = score(q.select("qid").crossJoin(F.broadcast(seeds)))
     beam = topn(visited, NSW_EF)
     for _ in range(NSW_HOPS):
+        # no .distinct(): groupBy(qid, vec_id).max below dedups —
+        # saves one shuffle per hop for identical visited sets
         reached = (
             edges.join(
                 F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
                 "src",
             )
             .select("qid", F.col("dst").alias("vec_id"))
-            .distinct()
         )
         visited = cp(
             visited.unionByName(score(reached))
@@ -1258,13 +1261,14 @@ def hnsw_search_batch(
     for edges, hops, ef in _hnsw_layer_plan(spark, sf_dir, e):
         beam = _topn_q(visited, ef)
         for _ in range(hops):
+            # no .distinct(): groupBy(qid, vec_id).max below dedups —
+            # saves one shuffle per hop for identical visited sets
             reached = (
                 edges.join(
                     F.broadcast(beam.select("qid", F.col("vec_id").alias("src"))),
                     "src",
                 )
                 .select("qid", F.col("dst").alias("vec_id"))
-                .distinct()
             )
             visited = cp(
                 visited.unionByName(_score_q(reached, en, q))

@@ -666,18 +666,25 @@ def _trigrams(spark, sf_dir):
     # (an empty or 2-token doc used to crash the whole job); with the
     # filter, i ranges over [0, size-3] so every a[i+2] is in bounds
     d = t(spark, sf_dir, "documents").select("doc_id", _TOKS().alias("a"))
+    # per-doc dedup via array_distinct INSIDE the row instead of a
+    # corpus-wide .distinct(): the distinct key is (doc_id, sh) and all
+    # of a doc's shingles are generated in its own row, so the row-local
+    # dedup is set-identical — and it removes a full shuffle of ~25-byte
+    # string keys from every trigram consumer (jaccard / minhash /
+    # fingerprint / the whole neardup+curate family)
     return (
         d.filter(F.size("a") >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(a) - 3), "
-                    "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(a) - 3), "
+                        "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
 
 

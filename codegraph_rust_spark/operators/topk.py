@@ -330,7 +330,25 @@ class InvertedIndex:
         # task (postings blobs are small in bytes).
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         pq = pq.repartition(n_part, "qid", "g")
-        partial = pq.groupBy("qid", "g").applyInPandas(run, schema=PARTIAL_SCHEMA)
+
+        # mapInPandas + in-partition groupby instead of
+        # groupBy().applyInPandas: the repartition above already
+        # co-locates every (qid, g) group, and a 50-query batch makes
+        # |queries|·D tiny groups — applyInPandas pays per-GROUP pandas
+        # materialization overhead, mapInPandas one concat + a C-level
+        # groupby per partition (identical per-group algorithm → same
+        # rows; pinned by the rank-identity gates)
+        def run_part(batches):
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for key, grp in pdf.groupby(["qid", "g"], sort=False):
+                out = run(key, grp)
+                if len(out):
+                    yield out
+
+        partial = pq.mapInPandas(run_part, schema=PARTIAL_SCHEMA)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partial.withColumn("rank", F.row_number().over(w))
