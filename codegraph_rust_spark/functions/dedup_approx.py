@@ -472,6 +472,9 @@ def simhash64(
 
 
 CC_MAX_ITERS = 30  # safety cap: pointer doubling reaches diameter 2^30
+# pair sets at or below this collect to the driver for exact union-find
+# (a few MB); larger graphs run the distributed pointer-doubling loop
+CC_DRIVER_MAX_PAIRS = 2_000_000
 
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +512,41 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set (it materializes before releasing its shingle cache) — no
     # second checkpoint here
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+    # Adaptive strategy (same broadcast-vs-shuffle logic the join
+    # planner applies): a candidate PAIR set far smaller than the
+    # corpus is the common case after banding/verification, and the
+    # distributed loop below pays ~3 jobs per doubling round no matter
+    # how tiny the graph is.  Under the cap, collect the pairs (already
+    # materialized) and run exact union-find on the driver — the same
+    # min-label components, bit-identically (component id = min doc_id)
+    # — then hand back one small DataFrame.  Above the cap, the
+    # pointer-doubling loop is the scale path, unchanged.
+    n_pairs = pairs.count()
+    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = pairs.collect()
+        for r in rows:
+            a, b = int(r["doc_a"]), int(r["doc_b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(out, "doc_id long, component long")
+
     # undirected adjacency
     adj = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -71,12 +71,19 @@ def curate_training_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_ratio") >= MIN_ALPHA)
         & (F.col("n_words") >= MIN_WORDS)
     )
+    # materialize the filter chain once: ``base`` is referenced by the
+    # exact-dedup agg AND the survivor semi-join (and ``pre`` twice
+    # more below) — without truncation the regex-heavy language/quality
+    # projections re-evaluate per reference
+    base = base.localCheckpoint(eager=False)
     # exact dedup: canonical = min doc_id per content hash — one hash
     # aggregation over the FILTERED set (cheaper than deduping raw)
     keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    pre = base.join(keep_exact, "doc_id", "left_semi")
+    pre = base.join(keep_exact, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     # near-dup: label each SURVIVOR with its component (its own id when
     # it is in no duplicate cluster), then keep the min surviving
     # doc_id per component — NOT the global component representative,
