@@ -89,9 +89,13 @@ BM25_INDEX_TOPK_SQL = BM25_TOPK_SQL  # identical semantics, engine-backed
 
 def hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid 0.9·vector + 0.1·text fusion (schema/codegraph.surql:452-478)
-    with the TEXT side answered by the compressed-postings engine —
-    the flagship: vector KNN in whole-stage codegen, BM25 through
-    Group-VarInt decode + MaxScore, window fusion on top."""
+    with the TEXT side through the compressed-postings engine but the
+    VECTOR side still an exhaustive corpus scan — this entry is the
+    ORACLE TWIN of the flagship, kept because its exhaustive vector leg
+    is what the DuckDB SQL replays exactly.  The SERVING path is
+    ``nsw.hybrid_nsw_topk`` (both legs through real indexes: postings
+    MaxScore + NSW beam search), which is what ``entry()`` routes
+    through — do not mistake this one for the production plan."""
     text = bm25_index_topk(spark, sf_dir).select(
         "doc_id", F.col("score").alias("text_score")
     )

@@ -54,10 +54,14 @@ NSW_SEEDS = 8  # deterministic entry points
 NSW_HOPS = 4   # beam-search rounds (enough to cross the tiny graph)
 NSW_K = 5
 
-# hard cap on the exact (ground-truth) builder's driver-side collect —
-# far above any test SF, far below anything that should ever reach the
-# GEMM twin instead of the LSH scale path
-NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "200000"))
+# hard cap on the exact (ground-truth) builder — sized so the guard
+# trips while the failure is still FAST: the builder's cost is the
+# O(n^2) pairwise GEMM, and at the old 200k cap the "loud guard" was
+# a 4e10-cosine hang plus a multi-hundred-MB broadcast before anyone
+# saw an error (advice r5).  50k rows ≈ 2.5e9 pairs — minutes, not
+# hours — and far above every test SF; the LSH builder is the path
+# beyond it.
+NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "50000"))
 
 # applicationId → broadcasts created by _nsw_edges (destroyed when a
 # later build sees the application is gone; within a live app only the
@@ -615,16 +619,27 @@ def nsw_search_batch_cached(
     process-wide query-result LRU+TTL cache (qcache.py — reference
     graph_tool_executor.rs:299-322).  A repeated (snapshot, queries,
     k) within the TTL returns the collected rows with ZERO Spark jobs.
-    Snapshot token = (applicationId, sf_dir, kind): the graph cache is
-    immutable per session, so any rebuild implies a new application or
-    an explicit invalidate."""
+    Snapshot token = (applicationId, sf_dir, kind, source-data
+    mtime_ns): the graph cache is immutable per session, and the
+    mtime_ns of the embeddings parquet guards the remaining hole —
+    source data rewritten in place within one application (tmp-dir
+    reuse, corpus regeneration) can no longer serve stale rows for a
+    TTL (advice r5)."""
+    import os as _os
+
     from .qcache import SERVICE_CACHE
 
+    emb = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        data_token = _os.stat(emb).st_mtime_ns
+    except OSError:
+        data_token = -1  # directory-style sources: fall back to app scope
     key = (
         "nsw_search_batch",
         spark.sparkContext.applicationId,
         sf_dir,
         kind,
+        data_token,
         tuple(qids),
         k,
     )

@@ -48,6 +48,11 @@ class QueryResultCache:
         self.misses = 0
 
     def get_or_compute(self, key: Hashable, compute: Callable[[], Any]) -> Any:
+        """NO-MUTATION CONTRACT: the SAME object is returned to every
+        caller within the TTL (zero-copy hits are the point of a
+        result cache) — callers must treat returned rows as frozen;
+        mutating them would corrupt later hits (advice r5).  All
+        in-repo callers only iterate/serialize results."""
         now = self.clock()
         hit = self._d.get(key)
         if hit is not None and now - hit[0] < self.ttl_s:

@@ -377,17 +377,20 @@ class InvertedIndex:
     def topk(self, query: str, k: int = 10, mode: str = "taat") -> DataFrame:
         return self.topk_batch([(0, query)], k=k, mode=mode).drop("qid")
 
-    def snapshot_token(self) -> float:
-        """mtime of the tokenized ledger's commit marker — rewritten by
-        every incremental swap (streaming/incremental._swap_ledger), so
-        memoized query results can never outlive a splice."""
+    def snapshot_token(self) -> int:
+        """st_mtime_ns of the tokenized ledger's commit marker —
+        rewritten by every incremental swap (streaming/incremental.
+        _swap_ledger), so memoized query results can never outlive a
+        splice.  NANOSECOND resolution: float getmtime() could yield an
+        identical token for a splice landing within the same coarse
+        filesystem tick as the prior commit (advice r5)."""
         import os
 
         from ..plans.build import TOKENIZED
 
-        return os.path.getmtime(
+        return os.stat(
             os.path.join(self.cat.path(TOKENIZED), "_SUCCESS")
-        )
+        ).st_mtime_ns
 
     def topk_batch_cached(
         self,

@@ -157,6 +157,30 @@ def test_round6_half_up_matches_spark_decimal_semantics(spark):
     assert list(ours) == theirs, list(zip(vals, ours, theirs))
 
 
+def test_round6_half_up_matches_duckdb_round():
+    """The numpy<->DuckDB side of the cross-engine rounding contract
+    (round-5 advice): _round6_half_up must ALSO equal DuckDB's
+    round() on the same half-boundary values, since the oracle rounds
+    in DuckDB while the GEMM/vectorized builders round in numpy."""
+    import duckdb
+    import numpy as np
+
+    from codegraph_rust_spark.functions.nsw import _round6_half_up
+
+    vals = [
+        1 / 128, -1 / 128, 3 / 256, 0.1234565, -0.9999995, 0.0000005,
+        7 / 64, 0.3333335, 1.0, -1.0, 0.0, 0.9876545, -0.0000015,
+        5 / 1024, 11 / 2048,
+    ]
+    ours = _round6_half_up(np.array(vals, dtype=np.float64).reshape(1, -1)).ravel()
+    con = duckdb.connect()
+    theirs = [
+        con.execute("select round(?::DOUBLE, 6)", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    assert list(ours) == theirs, list(zip(vals, ours, theirs))
+
+
 def test_hnsw_batched_search_equals_single_query(spark):
     """The batched layered descent must be per-qid IDENTICAL to the
     single-query layered search (same entry point, same per-layer hop
