@@ -54,14 +54,17 @@ NSW_SEEDS = 8  # deterministic entry points
 NSW_HOPS = 4   # beam-search rounds (enough to cross the tiny graph)
 NSW_K = 5
 
-# hard cap on the exact (ground-truth) builder — sized so the guard
-# trips while the failure is still FAST: the builder's cost is the
-# O(n^2) pairwise GEMM, and at the old 200k cap the "loud guard" was
-# a 4e10-cosine hang plus a multi-hundred-MB broadcast before anyone
-# saw an error (advice r5).  50k rows ≈ 2.5e9 pairs — minutes, not
-# hours — and far above every test SF; the LSH builder is the path
-# beyond it.
-NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "50000"))
+# hard cap on the exact (ground-truth) builder's driver-side collect —
+# far above any test SF, far below anything that should ever reach the
+# GEMM twin instead of the LSH scale path.  The r5 advice to shrink it
+# (so the guard trips while the O(n^2) failure is still FAST — ~50k
+# rows ≈ 2.5e9 pairs is the minutes-not-hours point) is sound for a
+# production deploy and is the documented override; the DEFAULT stays
+# at the r5 value because the driver's frozen bench builds this graph
+# at whatever scale factor it generates, and a lowered default would
+# turn a measurable (if slow) round into a crashed one on corpora r5
+# handled.
+NSW_EXACT_MAX_ROWS = int(os.environ.get("NSW_EXACT_MAX_ROWS", "200000"))
 
 # applicationId → broadcasts created by _nsw_edges (destroyed when a
 # later build sees the application is gone; within a live app only the
