@@ -473,8 +473,9 @@ def simhash64(
 
 CC_MAX_ITERS = 30  # safety cap: pointer doubling reaches diameter 2^30
 # pair sets at or below this collect to the driver for exact union-find
-# (a few MB); larger graphs run the distributed pointer-doubling loop
-CC_DRIVER_MAX_PAIRS = 2_000_000
+# (bounded: ~500k Row objects ≈ low hundreds of MB transient); larger
+# graphs run the distributed pointer-doubling loop
+CC_DRIVER_MAX_PAIRS = 500_000
 
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
