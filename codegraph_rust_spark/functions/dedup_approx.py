@@ -224,10 +224,6 @@ MINHASH_LSH_PAIRS_SQL = _minhash_sql()
 NEARDUP_BANDS = [(1, 9, 17, 25), (33, 41, 49, 57), (5, 13, 21, 29), (37, 45, 53, 61)]
 NEARDUP_THRESHOLD = 0.35
 
-_DOT = (
-    "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)),"
-    " cast(0 AS double), (acc, v) -> acc + v)"
-)
 _NRM = (
     "sqrt(aggregate(transform({c}, x -> cast(x AS double) * cast(x AS double)),"
     " cast(0 AS double), (acc, v) -> acc + v))"
@@ -236,7 +232,7 @@ _NRM = (
 
 def _make_dot_f64():
     """Arrow-vectorized float64 dot product over two array columns —
-    the bulk-pair replacement for the interpreted ``_DOT`` lambda fold
+    the bulk-pair replacement for the interpreted lambda-fold dot
     (guide §4.2: hand whole batches to numpy instead of evaluating a
     higher-order-function expression per pair).  Each element is cast
     to float64 BEFORE multiplying (same op order as the SQL

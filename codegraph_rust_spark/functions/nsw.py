@@ -240,9 +240,11 @@ def _nsw_edges_lsh(e: DataFrame) -> DataFrame:
     (Dong et al., WWW'11): candidates grow by neighbors-of-neighbors
     over the symmetrized round-0 graph, then the per-src top-M window
     re-selects.  Every stage is a bounded key join + window — no
-    corpus-squared anywhere — and candidate generation, scoring and
-    tie-breaks are all deterministic, so the DuckDB oracle replays the
-    whole build bit-for-bit.  (Production NN-descent memoizes scored
+    corpus-squared anywhere — and candidate generation and
+    tie-breaks are deterministic; scoring runs through the vectorized
+    float64 dot (dot_f64) under the round(·, 6) ranking contract, so
+    the DuckDB oracle replays the build edge-for-edge (same contract —
+    and the same pinned boundary tests — as the exact GEMM builder).  (Production NN-descent memoizes scored
     pairs across rounds and caps bucket width against band skew; one
     round with rescoring keeps the oracle compact — the plan shape is
     identical.)"""
@@ -410,13 +412,26 @@ def _beam_search(
 _GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _data_token(sf_dir: str) -> int:
+    """st_mtime_ns of the embeddings parquet — the source-data snapshot
+    component of every NSW cache key, so a file rewritten in place
+    within one application invalidates both the graph cache and the
+    result cache (review r6: keying only the result cache left beam
+    searches traversing a stale graph)."""
+    try:
+        return os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
+    except OSError:
+        return -1  # directory-style sources: fall back to app scope
+
+
 def _cached_graph(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     app = spark.sparkContext.applicationId
-    k = (app, sf_dir, name)
+    k = (app, sf_dir, name, _data_token(sf_dir))
     if k not in _GRAPH_CACHE:
         # evict entries pinned to dead sessions (their checkpoint
         # handles are invalid by construction — see keying rationale)
-        for stale in [x for x in _GRAPH_CACHE if x[0] != app]:
+        # and stale data snapshots of the same (app, sf_dir, name)
+        for stale in [x for x in _GRAPH_CACHE if x[0] != app or x[:3] == k[:3]]:
             del _GRAPH_CACHE[stale]
         # lazy checkpoint: plan is truncated at construction (the
         # returned frame wraps the checkpointed RDD) without the
@@ -628,15 +643,9 @@ def nsw_search_batch_cached(
     source data rewritten in place within one application (tmp-dir
     reuse, corpus regeneration) can no longer serve stale rows for a
     TTL (advice r5)."""
-    import os as _os
-
     from .qcache import SERVICE_CACHE
 
-    emb = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        data_token = _os.stat(emb).st_mtime_ns
-    except OSError:
-        data_token = -1  # directory-style sources: fall back to app scope
+    data_token = _data_token(sf_dir)
     key = (
         "nsw_search_batch",
         spark.sparkContext.applicationId,

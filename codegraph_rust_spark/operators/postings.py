@@ -673,16 +673,19 @@ def merge_partials(
 
 
 def _n_salts_py(df: int, cfg: IndexConfig) -> int:
-    """Python twin of ``n_salts_expr`` (bit-identical by construction:
-    exact integer ceil + next-power-of-two, capped) — pinned against
-    the Spark expression by test."""
+    """Python twin of ``n_salts_expr`` — mirrors the EXPRESSION, not
+    just its intent: the when-chain enumerates powers of two only up
+    to 32, so any ratio above 32 maps straight to max_salts (which
+    matters when max_salts > 64: ratio 40 must give max_salts, not
+    64).  Pinned value-equal against the Spark expression by
+    tests/test_incremental.py::test_n_salts_py_matches_expr."""
     if df <= cfg.salt_df_threshold:
         return 1
     ratio = -(-int(df) // cfg.salt_df_threshold)  # exact ceil
-    p = 1
-    while p < ratio and p < cfg.max_salts:
-        p *= 2
-    return min(p, cfg.max_salts)
+    for p in (1, 2, 4, 8, 16, 32):
+        if p <= cfg.max_salts and ratio <= p:
+            return p
+    return cfg.max_salts
 
 
 def delta_merge_postings(
@@ -812,7 +815,6 @@ def delta_merge_postings(
         aff = tab.filter(pa.array(affected))
         term = np.asarray(aff.column("term_id"), dtype=np.int64)
         has_old = ~np.asarray(aff.column("n").is_null())
-        n_col = aff.column("n").to_pylist()
         docp = aff.column("doc_payload").to_pylist()
         tfp = aff.column("tf_payload").to_pylist()
         dlp = aff.column("dl_payload").to_pylist()

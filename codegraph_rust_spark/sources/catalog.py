@@ -167,7 +167,10 @@ class Catalog:
                 if dl_i >= 0:
                     ntok += int(pc.sum(rb.column(dl_i)).as_py() or 0)
                     for u in rb.column(url_i).to_pylist():
-                        fp ^= xxh64_str(u)
+                        # Spark xxhash64(NULL) = 42 (the unmodified
+                        # seed) — replicate so the fingerprint matches
+                        # CORPUS_AGGS on corpora with null urls
+                        fp ^= xxh64_str(u) if u is not None else 42
                 if part_i < 0:
                     get_writer(None, rb.schema).write_batch(rb)
                     continue

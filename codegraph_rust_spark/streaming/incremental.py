@@ -202,8 +202,15 @@ def incremental_update(
 
     # --- dictionary delta merge (everything below reads the OLD ledger
     #     lazily, so it runs before any swap)
-    removed_tf = explode_tf(old_tok.join(changed_urls, "url", "left_semi"))
-    added_tf = explode_tf(next_tok.join(reindex_urls, "url", "left_semi"))
+    # materialized once: both frames feed the dictionary delta AND the
+    # postings delta-merge; without truncation each consumer re-runs
+    # the ledger semi-join + explode (O(delta) rows, tiny)
+    removed_tf = explode_tf(
+        old_tok.join(changed_urls, "url", "left_semi")
+    ).localCheckpoint(eager=False)
+    added_tf = explode_tf(
+        next_tok.join(reindex_urls, "url", "left_semi")
+    ).localCheckpoint(eager=False)
     rm = removed_tf.groupBy("term_id").agg(
         F.count(F.lit(1)).alias("rm_df"), F.sum("tf").alias("rm_cf")
     )

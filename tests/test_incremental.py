@@ -253,3 +253,26 @@ def test_incremental_reshards_across_salt_threshold(spark, tmp_path):
     rb = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
                 for r in ib.topk_batch(qs, 10, mode="maxscore").collect())
     assert ra == rb
+
+
+def test_n_salts_py_matches_expr(spark):
+    """_n_salts_py (delta-merge re-salting) must be value-identical to
+    n_salts_expr (build + query routing) across the full dial space —
+    including max_salts > 64, where the expression's when-chain stops
+    enumerating powers at 32 and falls through to max_salts."""
+    from codegraph_rust_spark.operators.postings import (
+        _n_salts_py,
+        n_salts_expr,
+    )
+
+    dfs = list(range(1, 60)) + [100, 127, 128, 129, 320, 321, 1000, 10_000]
+    for thr, max_salts in [(10, 4), (10, 64), (10, 128), (3, 16), (1, 256)]:
+        cfg = IndexConfig(salt_df_threshold=thr, max_salts=max_salts)
+        sdf = spark.createDataFrame([(d,) for d in dfs], "df long").select(
+            "df", n_salts_expr(F.col("df"), cfg).alias("ns")
+        )
+        spark_ns = {r["df"]: r["ns"] for r in sdf.collect()}
+        for d in dfs:
+            assert _n_salts_py(d, cfg) == spark_ns[d], (
+                thr, max_salts, d, _n_salts_py(d, cfg), spark_ns[d]
+            )
